@@ -90,6 +90,23 @@ def hash_pixel_dim_seed(px, py, dim: int, seed: int) -> U64:
     return _murmur_finalize(h)
 
 
+def hash_pixel_dim_seed_dyn(px, py, dim, seed: int) -> U64:
+    """Same key layout as hash_pixel_dim_seed but with a traced uint32 dim."""
+    px = jnp.asarray(px, _U32)
+    py = jnp.asarray(py, _U32)
+    dim = jnp.asarray(dim, _U32)
+    seed &= _MASK64
+    seed_lo = seed & 0xFFFFFFFF
+    seed_hi = seed >> 32
+    h = u64.broadcast_to(u64.from_int((20 * _MURMUR_M) & _MASK64), px.shape)
+    h = _murmur_round(h, (py, px))
+    k2 = (jnp.broadcast_to(jnp.asarray(seed_lo, _U32), dim.shape), dim)
+    h = _murmur_round(h, k2)
+    h = u64.xor(h, u64.broadcast_to(u64.from_int(seed_hi), px.shape))
+    h = u64.mul(h, u64.from_int(_MURMUR_M))
+    return _murmur_finalize(h)
+
+
 def mix_bits(v: U64) -> U64:
     """MixBits (hash.h:72-79)."""
     v = u64.xor(v, u64.shr(v, 31))

@@ -185,6 +185,17 @@ def pcg_advance_static(st: PCGState, delta: int) -> PCGState:
     return (state, inc)
 
 
+def pcg_advance_jump(st: PCGState, a: u64.U64, s: u64.U64) -> PCGState:
+    """pcg32::advance with traced jump constants (from advance_constants on
+    the host, passed as u64 scalars) -- lets one jitted render pass serve
+    every sample index without recompiling."""
+    state, inc = st
+    a = u64.broadcast_to(a, state[0].shape)
+    s = u64.broadcast_to(s, state[0].shape)
+    state = u64.add(u64.mul(state, a), u64.mul(inc, s))
+    return (state, inc)
+
+
 def sampler_state(px, py, seed: int, sample_index: int, dim: int = 0) -> PCGState:
     """generateSample(pixel, sampleIndex, dim) (sampler.cpp:43-46):
     seed(Hash(p, seed)); advance(sampleIndex*65536 + dim)."""

@@ -1,0 +1,120 @@
+"""Film: filtered splat accumulation as scatter-add (block.cpp:56-96 redesigned).
+
+The reference splats each sample into a mutex-guarded tile with a
+pre-tabulated separable filter (block.cpp:12-27, 56-85). On TPU the film is a
+single (H, W, 4) accumulation buffer (RGB + filter weight); each camera
+sample contributes a static KxK footprint of filter-weighted values via one
+``scatter-add``. Invalid (NaN/negative) radiance is dropped, matching the
+runtime guard at block.cpp:57-61. Filters are evaluated analytically instead
+of from the 32-bin table -- exact rather than quantized weights.
+
+Filters (rfilter.cpp:10-102): gaussian (default r=2 sigma=0.5), mitchell
+(B=C=1/3, r=2), tent (r=1), box (r=0.5).
+"""
+from __future__ import annotations
+
+import math as pymath
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import math as km
+
+
+def filter_radius(static) -> float:
+    """Per-kind radius: tent/box hard-code theirs (rfilter.cpp:77, 93)."""
+    kind = static.rfilter_kind
+    if kind == "tent":
+        return 1.0
+    if kind == "box":
+        return 0.5
+    return static.rfilter_radius
+
+
+def filter_eval(static, x):
+    """Filter value at (possibly negative) offset x, vectorized. Values
+    outside the filter radius are zero (footprint bound, block.cpp:71-76)."""
+    kind = static.rfilter_kind
+    r = filter_radius(static)
+    ax = jnp.abs(x)
+    if kind == "gaussian":
+        alpha = -1.0 / (2.0 * static.rfilter_stddev**2)
+        val = jnp.maximum(0.0, jnp.exp(alpha * ax * ax) - pymath.exp(alpha * r * r))
+    elif kind == "mitchell":
+        b, c = static.rfilter_b, static.rfilter_c
+        x2 = 2.0 * ax / r
+        x2sq = x2 * x2
+        inner = (
+            (12.0 - 9.0 * b - 6.0 * c) * x2 * x2sq
+            + (-18.0 + 12.0 * b + 6.0 * c) * x2sq
+            + (6.0 - 2.0 * b)
+        ) * (1.0 / 6.0)
+        outer = (
+            (-b - 6.0 * c) * x2 * x2sq
+            + (6.0 * b + 30.0 * c) * x2sq
+            + (-12.0 * b - 48.0 * c) * x2
+            + (8.0 * b + 24.0 * c)
+        ) * (1.0 / 6.0)
+        val = jnp.where(x2 < 1.0, inner, jnp.where(x2 < 2.0, outer, 0.0))
+    elif kind == "tent":
+        val = jnp.maximum(0.0, 1.0 - ax)
+    elif kind == "box":
+        val = jnp.ones_like(ax)
+    else:
+        raise ValueError(f"unknown rfilter {kind}")
+    return jnp.where(ax <= r, val, 0.0)
+
+
+def make_film(static):
+    return jnp.zeros((static.height, static.width, 4), jnp.float32)
+
+
+def splat(static, film, pixel_sample, value):
+    """Accumulate one batch of samples (block.cpp:56-85).
+
+    pixel_sample: (N, 2) continuous image coords; value: (N, 3).
+    """
+    # Invalid-radiance guard (block.cpp:57-61)
+    ok = jnp.all(jnp.isfinite(value) & (value >= 0.0), axis=-1)
+    value = jnp.where(ok[:, None], value, 0.0)
+
+    r = filter_radius(static)
+    # Footprint: pixels with |center - (sample - 0.5)| < r
+    k = int(np.floor(2 * r)) + 2
+    px = pixel_sample[:, 0] - 0.5
+    py = pixel_sample[:, 1] - 0.5
+    x0 = jnp.ceil(px - r).astype(jnp.int32)
+    y0 = jnp.ceil(py - r).astype(jnp.int32)
+
+    contrib = jnp.concatenate([value, jnp.ones_like(value[:, :1])], axis=-1)
+
+    offs = jnp.arange(k)
+    xs = x0[:, None] + offs[None, :]  # (N, k)
+    ys = y0[:, None] + offs[None, :]
+    wx = filter_eval(static, xs.astype(jnp.float32) - px[:, None])  # (N, k)
+    wy = filter_eval(static, ys.astype(jnp.float32) - py[:, None])
+    in_x = (xs >= 0) & (xs < static.width)
+    in_y = (ys >= 0) & (ys < static.height)
+    wx = jnp.where(in_x, wx, 0.0)
+    wy = jnp.where(in_y, wy, 0.0)
+
+    w2 = wx[:, None, :] * wy[:, :, None]  # (N, k, k) [y, x]
+    vals = contrib[:, None, None, :] * w2[..., None]  # (N, k, k, 4)
+    xi = jnp.clip(xs, 0, static.width - 1)
+    yi = jnp.clip(ys, 0, static.height - 1)
+    flat_idx = (yi[:, :, None] * static.width + xi[:, None, :]).reshape(-1)
+    film_flat = film.reshape(-1, 4)
+    film_flat = film_flat.at[flat_idx].add(vals.reshape(-1, 4))
+    return film_flat.reshape(film.shape)
+
+
+def to_bitmap(film):
+    """Divide accumulated RGB by filter weight (block.cpp:39-45)."""
+    w = film[..., 3:4]
+    return jnp.where(w > 0.0, film[..., :3] / jnp.maximum(w, 1e-20), 0.0)
+
+
+def to_srgb8(img):
+    return np.asarray(
+        jnp.clip(km.to_srgb(jnp.clip(img, 0.0, 1.0)) * 255.0 + 0.5, 0, 255)
+    ).astype(np.uint8)

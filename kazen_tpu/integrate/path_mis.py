@@ -1,0 +1,322 @@
+"""Wavefront NEE+MIS path tracer.
+
+Faithful re-expression of the reference's iterative megaloop
+(PathMisIntegrator::Li, integrator.cpp:195-338) as a masked SoA wavefront:
+every lane carries (ray, throughput, eta, bsdfWeight, accumulatedRoughness,
+alive) and all lanes advance through the same per-bounce stages, so the
+per-lane random-stream consumption matches the reference exactly and images
+agree at equal (sampler, spp, seed).
+
+Bounce structure (per iteration):
+  1. emitter-hit termination with MIS weight       (integrator.cpp:226-231)
+  2. Russian roulette from depth>=3, `<=` compare  (:237-244)
+  3. NEE: uniform light pick, area-light sample, biased shadow ray with
+     step-through of primary-invisible lights      (:247-294)
+  4. roughness-bias accumulation (opt-in)          (:297-301)
+  5. BSDF sample; throughput/eta update            (:303-309)
+  6. trace; miss -> background; emitter-hit MIS
+     weight for next iteration                     (:312-331)
+
+The first three bounces are Python-unrolled so the RR draw is only consumed
+from depth 3 (parity with the reference's conditional draw); the remaining
+depth is a lax.scan with uniform consumption.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..accel.intersect import Rays, intersect_brute
+from ..core import math as km
+from ..samplers import streams
+from ..shade import bsdf as bsdf_mod
+from ..shade import lights as lights_mod
+from ..shade.interaction import Interaction, prepare
+
+EPSILON = 1e-4  # Ray3f default mint (define.h)
+INF = jnp.float32(3.0e38)
+_MAX_OCCLUSION_STEPS = 8
+
+
+def intersect(scene, rays: Rays):
+    """Scene::rayIntersect: nearest hit + shading prep. Uses the BVH when the
+    scene has one compiled in, else the brute-force oracle."""
+    bvh = getattr(scene, "bvh", None)
+    if bvh is not None:
+        from ..accel.bvh import intersect_bvh
+
+        hit = intersect_bvh(scene, rays)
+    else:
+        hit = intersect_brute(scene, rays)
+    return hit
+
+
+def power_heuristic(pdf_a, pdf_b):
+    """powerHeuristic (integrator.cpp:340-344)."""
+    a2 = pdf_a * pdf_a
+    b2 = pdf_b * pdf_b
+    return jnp.where(a2 > 0.0, a2 / (a2 + b2), 0.0)
+
+
+def _occluded_with_stepthrough(scene, static, o, d, mint, maxt, active):
+    """Shadow-ray occlusion with the reference's step-through of
+    primary-invisible lights (integrator.cpp:259-278): the nearest hit is
+    examined; invisible lights are skipped by re-casting past them."""
+
+    def cond(state):
+        _, _, _, done, steps = state
+        return (~jnp.all(done)) & (steps < _MAX_OCCLUSION_STEPS)
+
+    def body(state):
+        o, mt, occluded, done, steps = state
+        rays = Rays(o=o, d=d, mint=jnp.full_like(mt, mint), maxt=mt)
+        hit = intersect(scene, rays)
+        its_mesh = scene.face_mesh[jnp.clip(hit.face, 0, scene.F.shape[0] - 1)]
+        its_light = scene.mesh_light[its_mesh]
+        is_light = hit.valid & (its_light >= 0)
+        light_visible = scene.light_primary_vis[jnp.maximum(its_light, 0)]
+        blocked = hit.valid & (~is_light | (is_light & light_visible))
+        newly_done = ~hit.valid | blocked
+        # step past the invisible light (integrator.cpp:273)
+        o_next = o + d * (hit.t + static.trace_bias)[:, None]
+        mt_next = mt - hit.t
+        upd = ~done & ~newly_done
+        return (
+            jnp.where(upd[:, None], o_next, o),
+            jnp.where(upd, mt_next, mt),
+            jnp.where(~done & blocked, True, occluded),
+            done | newly_done,
+            steps + 1,
+        )
+
+    n = o.shape[0]
+    init = (
+        o,
+        maxt,
+        jnp.zeros(n, bool),
+        ~active,  # inactive lanes are pre-done
+        jnp.int32(0),
+    )
+    _, _, occluded, _, _ = jax.lax.while_loop(cond, body, init)
+    return occluded
+
+
+class _State(NamedTuple):
+    stream: streams.StreamState
+    ray_o: jnp.ndarray
+    ray_d: jnp.ndarray
+    its: Interaction
+    li: jnp.ndarray  # (N, 3)
+    throughput: jnp.ndarray  # (N, 3)
+    eta: jnp.ndarray  # (N,)
+    bsdf_weight: jnp.ndarray  # (N,)
+    accum_rough: jnp.ndarray  # (N,)
+    alive: jnp.ndarray  # (N,) bool
+
+
+def _light_eval_at_hit(scene, its: Interaction, ray_o):
+    """Light::eval with lRec(ref=ray.o, p=its.p, n=its.shFrame.n)."""
+    wi = km.normalize(its.p - ray_o)
+    lidx = jnp.maximum(its.light, 0)
+    return lights_mod.eval_area_light(scene, lidx, its.sh_frame.n, wi)
+
+
+def _light_pdf_at_hit(scene, its: Interaction, ray_o):
+    to_p = its.p - ray_o
+    dist = km.norm(to_p)
+    wi = to_p / jnp.maximum(dist, 1e-20)[:, None]
+    lidx = jnp.maximum(its.light, 0)
+    return lights_mod.pdf_area_light(scene, lidx, its.sh_frame.n, wi, dist)
+
+
+def _bounce(scene, static, spec, st: _State, draw_rr: bool) -> _State:
+    stream = st.stream
+    its = st.its
+    alive = st.alive
+    li = st.li
+    throughput = st.throughput
+    eta = st.eta
+    accum = st.accum_rough
+
+    wi_world = -st.ray_d
+    wi_local = its.sh_frame.to_local(wi_world)
+
+    # (1) emitter hit terminates the lane (integrator.cpp:226-231)
+    hit_light = alive & (its.light >= 0)
+    le = _light_eval_at_hit(scene, its, st.ray_o)
+    li = li + jnp.where(
+        hit_light[:, None],
+        st.bsdf_weight[:, None] * throughput * le,
+        0.0,
+    )
+    alive = alive & ~hit_light
+
+    # (2) Russian roulette (integrator.cpp:237-244); `<=` keeps 0-throughput
+    # lanes from dividing 0/0.
+    if draw_rr:
+        stream, u_rr = streams.next_1d(spec, stream)
+        prob = jnp.minimum(jnp.max(throughput, axis=-1) * eta * eta, 0.95)
+        dead = prob <= u_rr
+        alive = alive & ~dead
+        throughput = jnp.where(
+            alive[:, None], throughput / jnp.maximum(prob, 1e-20)[:, None], throughput
+        )
+
+    # (3) NEE (integrator.cpp:247-294)
+    if static.num_lights > 0:
+        stream, u_pick = streams.next_1d(spec, stream)
+        stream, u_tri = streams.next_1d(spec, stream)
+        stream, u_a = streams.next_1d(spec, stream)
+        stream, u_b = streams.next_1d(spec, stream)
+        lidx = lights_mod.select_uniform(static.num_lights, u_pick)
+        ls = lights_mod.sample_area_light(scene, lidx, its.p, u_tri, u_a, u_b)
+        # Ls / getLightPdf() (integrator.cpp:252)
+        ls_val = ls.ls * static.num_lights
+
+        occluded = _occluded_with_stepthrough(
+            scene,
+            static,
+            its.p,
+            ls.wi,
+            static.trace_bias,
+            ls.dist - static.trace_bias,
+            alive,
+        )
+        wo_local = its.sh_frame.to_local(ls.wi)
+        f = bsdf_mod.eval(
+            static, scene, its.material, its.uv, its.sh_frame, its.dpdu,
+            wi_local, wo_local, accum,
+        )
+        pdf_b = bsdf_mod.pdf(
+            static, scene, its.material, its.uv, its.sh_frame, its.dpdu,
+            wi_local, wo_local, accum,
+        )
+        w_light = power_heuristic(ls.pdf, pdf_b)
+        contrib = throughput * ls_val * f * w_light[:, None]
+        li = li + jnp.where((alive & ~occluded)[:, None], contrib, 0.0)
+
+    # (4) roughness-bias firefly control (integrator.cpp:297-301)
+    if static.regularization:
+        reg = bsdf_mod.regularize_resolved(static, scene, its.material, its.uv)
+        accum = jnp.where(
+            alive, accum + reg * static.accumulated_roughness, accum
+        )
+
+    # (5) BSDF sampling (integrator.cpp:303-309)
+    stream, s1 = streams.next_1d(spec, stream)
+    stream, s2 = streams.next_2d(spec, stream)
+    res = bsdf_mod.sample(
+        static, scene, its.material, its.uv, its.sh_frame, its.dpdu,
+        wi_local, s1, s2, accum,
+    )
+    throughput = jnp.where(alive[:, None], throughput * res.weight, throughput)
+    eta = jnp.where(alive, eta * res.eta, eta)
+    # zero-weight lanes can never contribute again
+    alive = alive & jnp.any(res.weight > 0.0, axis=-1)
+
+    bsdf_pdf = bsdf_mod.pdf(
+        static, scene, its.material, its.uv, its.sh_frame, its.dpdu,
+        wi_local, res.wo, accum,
+    )
+
+    # (6) trace the BSDF ray (integrator.cpp:312-331)
+    new_d = its.sh_frame.to_world(res.wo)
+    new_o = its.p
+    n = new_o.shape[0]
+    rays = Rays(
+        o=new_o,
+        d=new_d,
+        mint=jnp.full(n, static.trace_bias, jnp.float32),
+        maxt=jnp.full(n, INF),
+    )
+    hit = intersect(scene, rays)
+    new_its = prepare(scene, rays, hit)
+
+    missed = alive & ~hit.valid
+    bg = lights_mod.background_radiance(scene, static, new_d)
+    li = li + jnp.where(missed[:, None], throughput * bg, 0.0)
+    alive = alive & hit.valid
+
+    # MIS weight for a light hit by the BSDF ray (integrator.cpp:320-331)
+    new_hit_light = alive & (new_its.light >= 0)
+    light_pdf_next = _light_pdf_at_hit(scene, new_its, new_o)
+    bsdf_weight = jnp.where(
+        new_hit_light,
+        power_heuristic(bsdf_pdf, light_pdf_next),
+        st.bsdf_weight,
+    )
+    bsdf_weight = jnp.where(res.is_discrete, 1.0, bsdf_weight)
+
+    # keep lane state frozen where not alive (li already masked)
+    def keep(new, old, mask=alive):
+        extra = (1,) * (new.ndim - mask.ndim)
+        return jnp.where(mask.reshape(mask.shape + extra), new, old)
+
+    its_out = jax.tree_util.tree_map(lambda a, b: keep(a, b), new_its, its)
+    return _State(
+        stream=stream,
+        ray_o=keep(new_o, st.ray_o),
+        ray_d=keep(new_d, st.ray_d),
+        its=its_out,
+        li=li,
+        throughput=throughput,
+        eta=eta,
+        bsdf_weight=bsdf_weight,
+        accum_rough=accum,
+        alive=alive,
+    )
+
+
+def li_wavefront(scene, static, spec, stream, rays: Rays):
+    """Integrator::Li over a whole lane batch. Returns (stream, li)."""
+    n = rays.o.shape[0]
+    hit = intersect(scene, rays)
+    its = prepare(scene, rays, hit)
+
+    # Camera-ray punch-through for primary-invisible lights
+    # (integrator.cpp:213-220): a single re-cast past the light; if the
+    # re-cast misses, the stale light hit is kept (reference behavior).
+    lvis = scene.light_primary_vis[jnp.maximum(its.light, 0)]
+    punch = hit.valid & (its.light >= 0) & ~lvis
+    if static.num_lights > 0:
+        o2 = its.p + static.trace_bias * rays.d
+        rays2 = Rays(
+            o=o2, d=rays.d, mint=jnp.full(n, EPSILON), maxt=jnp.full(n, INF)
+        )
+        hit2 = intersect(scene, rays2)
+        its2 = prepare(scene, rays2, hit2)
+        take = punch & hit2.valid
+
+        def pick(a, b):
+            extra = (1,) * (a.ndim - take.ndim)
+            return jnp.where(take.reshape(take.shape + extra), a, b)
+
+        its = jax.tree_util.tree_map(pick, its2, its)
+
+    st = _State(
+        stream=stream,
+        ray_o=rays.o,
+        ray_d=rays.d,
+        its=its,
+        li=jnp.zeros((n, 3), jnp.float32),
+        throughput=jnp.ones((n, 3), jnp.float32),
+        eta=jnp.ones(n, jnp.float32),
+        bsdf_weight=jnp.ones(n, jnp.float32),
+        accum_rough=jnp.zeros(n, jnp.float32),
+        alive=its.valid,
+    )
+
+    n_unrolled = min(static.max_depth, 3)
+    for depth in range(n_unrolled):
+        st = _bounce(scene, static, spec, st, draw_rr=False)
+
+    n_scan = static.max_depth - n_unrolled
+    if n_scan > 0:
+        def body(carry, _):
+            return _bounce(scene, static, spec, carry, draw_rr=True), None
+
+        st, _ = jax.lax.scan(body, st, None, length=n_scan)
+
+    return st.stream, st.li

@@ -96,6 +96,32 @@ def init_stream(spec: SamplerSpec, px, py, sample_index: int) -> StreamState:
     )
 
 
+def init_stream_jump(
+    spec: SamplerSpec, px, py, sample_index, jump
+) -> StreamState:
+    """init_stream with a *traced* sample index: ``jump`` is the
+    (A, S) u64 pair from rng.advance_constants(sample_index*65536), computed
+    host-side per pass, so one compiled render pass serves all spp."""
+    px = jnp.asarray(px, _U32)
+    py = jnp.asarray(py, _U32)
+    st = rng.pcg_seed(rng.hash_pixel_seed(px, py, spec.seed))
+    if spec.kind == "pmj02bn":
+        dim0 = 2
+    else:
+        a, s = jump
+        st = rng.pcg_advance_jump(st, a, s)
+        dim0 = 0
+    return StreamState(
+        pcg=st,
+        dim=jnp.full(px.shape, dim0, _U32),
+        px=px,
+        py=py,
+        sample_index=jnp.broadcast_to(
+            jnp.asarray(sample_index, _U32), px.shape
+        ),
+    )
+
+
 def _hash32_dim(spec: SamplerSpec, st: StreamState):
     """Low 32 bits of Hash(pixel, dimension, seed)."""
     h = rng.hash_pixel_dim_seed_dyn(st.px, st.py, st.dim, spec.seed)

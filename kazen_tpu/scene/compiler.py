@@ -1,0 +1,527 @@
+"""Scene compiler: lowers the Python scene description to flat device arrays.
+
+This is the TPU analog of the reference's ``activate()`` cascade
+(parser.cpp:169-199, scene.cpp:29-52): it packs all meshes into one global
+triangle soup, builds per-light area CDFs (mesh.cpp:31-44), flattens the
+material graph into an SoA parameter table, packs textures into a flat texel
+pool, and precomputes the camera's sample-to-camera matrix
+(camera.cpp:35-68). The result is a ``(SceneArrays, SceneStatic)`` pair:
+arrays are a jit-able pytree; statics are hashable config closed over by jit.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import description as D
+
+# Material type ids (shade/bsdf.py dispatches on these)
+BSDF_DIFFUSE = 0
+BSDF_DIELECTRIC = 1
+BSDF_MIRROR = 2
+BSDF_LAMBERTIAN = 3
+BSDF_GGX = 4
+BSDF_ROUGHCONDUCTOR = 5
+BSDF_ROUGHPLASTIC = 6
+BSDF_ROUGHDIELECTRIC = 7
+BSDF_KISS = 8
+BSDF_NORMALMAP = 9
+
+# Conductor fresnel presets (eta, k) per channel (bsdf.cpp:703-713)
+CONDUCTORS = {
+    "Au": ((0.1431889, 0.3749570, 1.4424879), (3.9831604, 2.3857207, 1.6032152)),
+    "Cu": ((0.2004376, 0.9240334, 1.1022119), (3.9129485, 2.4528477, 2.1421879)),
+    "Cr": ((4.3696842, 2.9167024, 1.6547005), (5.2064351, 4.2313262, 3.7549467)),
+}
+
+
+class MaterialTable(NamedTuple):
+    btype: jnp.ndarray  # (M,) int32
+    base_color: jnp.ndarray  # (M, 3)
+    tex_base: jnp.ndarray  # (M,) int32, -1 = constant
+    metallic: jnp.ndarray  # (M,)
+    tex_metallic: jnp.ndarray  # (M,) int32
+    roughness: jnp.ndarray  # (M,)
+    tex_roughness: jnp.ndarray  # (M,) int32
+    anisotropy: jnp.ndarray
+    specular: jnp.ndarray
+    specular_tint: jnp.ndarray
+    clearcoat: jnp.ndarray
+    clearcoat_roughness: jnp.ndarray
+    sheen: jnp.ndarray
+    sheen_tint: jnp.ndarray
+    int_ior: jnp.ndarray
+    ext_ior: jnp.ndarray
+    alpha: jnp.ndarray  # Beckmann alpha for rough* models
+    eta_c: jnp.ndarray  # (M, 3) conductor eta
+    k_c: jnp.ndarray  # (M, 3) conductor k
+    nested: jnp.ndarray  # (M,) int32: wrapped material for normalmap
+    tex_normal: jnp.ndarray  # (M,) int32
+
+
+class TexturePool(NamedTuple):
+    texels: jnp.ndarray  # (P, 3) float32 flat pool
+    offset: jnp.ndarray  # (T,) int32 start index into texels
+    width: jnp.ndarray  # (T,) int32
+    height: jnp.ndarray  # (T,) int32
+    uv_scale: jnp.ndarray  # (T,) float32
+
+
+class SceneArrays(NamedTuple):
+    # geometry
+    V: jnp.ndarray  # (Nv, 3)
+    F: jnp.ndarray  # (Nf, 3) int32
+    N: jnp.ndarray  # (Nv, 3) (zeros where absent)
+    UV: jnp.ndarray  # (Nv, 2)
+    face_mesh: jnp.ndarray  # (Nf,) int32
+    mesh_material: jnp.ndarray  # (Nm,) int32
+    mesh_light: jnp.ndarray  # (Nm,) int32, -1 = not a light
+    mesh_has_normals: jnp.ndarray  # (Nm,) bool
+    mesh_has_uvs: jnp.ndarray  # (Nm,) bool
+    # materials / textures
+    materials: MaterialTable
+    textures: TexturePool
+    # lights
+    light_mesh: jnp.ndarray  # (L,) int32
+    light_radiance: jnp.ndarray  # (L, 3)
+    light_primary_vis: jnp.ndarray  # (L,) bool
+    light_cdf: jnp.ndarray  # (L, maxLF + 1) normalized area CDF
+    light_faces: jnp.ndarray  # (L, maxLF) int32 global face ids
+    light_inv_area: jnp.ndarray  # (L,) 1/total area (DiscretePDF normalization)
+    # background
+    bg_color: jnp.ndarray  # (3,)
+    bg_tex: jnp.ndarray  # () int32, -1 = constant color
+    bg_intensity: jnp.ndarray  # ()
+    # camera
+    cam_to_world: jnp.ndarray  # (4, 4)
+    sample_to_camera: jnp.ndarray  # (4, 4)
+    cam_near: jnp.ndarray  # ()
+    cam_far: jnp.ndarray  # ()
+    aperture_radius: jnp.ndarray  # ()
+    focus_distance: jnp.ndarray  # ()
+
+
+@dataclass(frozen=True)
+class SceneStatic:
+    width: int
+    height: int
+    camera_kind: str  # "perspective" | "thinlens"
+    num_meshes: int
+    num_materials: int
+    num_lights: int
+    btypes_present: Tuple[int, ...]  # material types in this scene (dispatch)
+    has_background: bool
+    sampler_kind: str
+    sample_count: int
+    seed: int
+    # path_mis params (integrator.cpp:189-192)
+    max_depth: int
+    trace_bias: float
+    regularization: bool
+    accumulated_roughness: float
+    rfilter_kind: str
+    rfilter_radius: float
+    rfilter_stddev: float
+    rfilter_b: float
+    rfilter_c: float
+
+
+def _load_mesh_arrays(m: D.Mesh):
+    if m.filename is not None:
+        from .obj import load_obj
+
+        return load_obj(m.filename, m.to_world)
+    V = np.asarray(m.vertices, np.float32)
+    F = np.asarray(m.faces, np.int32)
+    N = None if m.normals is None else np.asarray(m.normals, np.float32)
+    UV = None if m.uvs is None else np.asarray(m.uvs, np.float32)
+    if m.to_world is not None:
+        t = np.asarray(m.to_world, np.float32)
+        V = V @ t[:3, :3].T + t[:3, 3]
+        if N is not None:
+            nmat = np.linalg.inv(t[:3, :3]).T
+            N = N @ nmat.T
+            N /= np.maximum(np.linalg.norm(N, axis=-1, keepdims=True), 1e-20)
+    return V, F, N, UV
+
+
+class _TexturePacker:
+    def __init__(self):
+        self.texels = []
+        self.offsets = []
+        self.widths = []
+        self.heights = []
+        self.scales = []
+        self.total = 0
+
+    def add(self, tex: D.ImageTexture) -> int:
+        if tex.data is not None:
+            img = np.asarray(tex.data, np.float32)
+        else:
+            import imageio.v3 as iio  # optional dependency; gated
+
+            img = np.asarray(iio.imread(tex.filename), np.float32)
+            if img.dtype == np.uint8 or img.max() > 1.5:
+                img = img / 255.0
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        img = img[..., :3]
+        if tex.colorspace == "srgb":
+            img = np.where(
+                img <= 0.04045, img / 12.92, ((img + 0.055) / 1.055) ** 2.4
+            ).astype(np.float32)
+        h, w = img.shape[:2]
+        tid = len(self.offsets)
+        self.offsets.append(self.total)
+        self.widths.append(w)
+        self.heights.append(h)
+        self.scales.append(float(tex.scale))
+        self.texels.append(img.reshape(-1, 3).astype(np.float32))
+        self.total += h * w
+        return tid
+
+    def finish(self) -> TexturePool:
+        if not self.texels:
+            return TexturePool(
+                texels=jnp.zeros((1, 3), jnp.float32),
+                offset=jnp.zeros((1,), jnp.int32),
+                width=jnp.ones((1,), jnp.int32),
+                height=jnp.ones((1,), jnp.int32),
+                uv_scale=jnp.ones((1,), jnp.float32),
+            )
+        return TexturePool(
+            texels=jnp.asarray(np.concatenate(self.texels, axis=0)),
+            offset=jnp.asarray(np.asarray(self.offsets, np.int32)),
+            width=jnp.asarray(np.asarray(self.widths, np.int32)),
+            height=jnp.asarray(np.asarray(self.heights, np.int32)),
+            uv_scale=jnp.asarray(np.asarray(self.scales, np.float32)),
+        )
+
+
+class _MaterialBuilder:
+    FIELDS = dict(
+        btype=np.int32,
+        base_color=None,
+        tex_base=np.int32,
+        metallic=np.float32,
+        tex_metallic=np.int32,
+        roughness=np.float32,
+        tex_roughness=np.int32,
+        anisotropy=np.float32,
+        specular=np.float32,
+        specular_tint=np.float32,
+        clearcoat=np.float32,
+        clearcoat_roughness=np.float32,
+        sheen=np.float32,
+        sheen_tint=np.float32,
+        int_ior=np.float32,
+        ext_ior=np.float32,
+        alpha=np.float32,
+        eta_c=None,
+        k_c=None,
+        nested=np.int32,
+        tex_normal=np.int32,
+    )
+
+    def __init__(self, packer: _TexturePacker):
+        self.rows = []
+        self.packer = packer
+
+    def _tex_or_const(self, tex: D.ConstantTexture | D.ImageTexture):
+        """Returns (constant_rgb, tex_id)."""
+        tex = D.as_texture(tex)
+        if isinstance(tex, D.ConstantTexture):
+            return np.asarray(tex.color, np.float32), -1
+        if isinstance(tex, D.ImageTexture):
+            return np.ones(3, np.float32), self.packer.add(tex)
+        raise NotImplementedError(
+            f"texture graph node {type(tex).__name__} not yet supported here"
+        )
+
+    def _blank(self):
+        return dict(
+            btype=BSDF_DIFFUSE,
+            base_color=np.asarray([0.5, 0.5, 0.5], np.float32),
+            tex_base=-1,
+            metallic=0.0,
+            tex_metallic=-1,
+            roughness=0.5,
+            tex_roughness=-1,
+            anisotropy=0.0,
+            specular=0.5,
+            specular_tint=0.5,
+            clearcoat=0.0,
+            clearcoat_roughness=0.5,
+            sheen=0.0,
+            sheen_tint=0.5,
+            int_ior=1.5046,
+            ext_ior=1.000277,
+            alpha=0.1,
+            eta_c=np.zeros(3, np.float32),
+            k_c=np.zeros(3, np.float32),
+            nested=-1,
+            tex_normal=-1,
+        )
+
+    def add(self, b: Optional[D.BSDF]) -> int:
+        if b is None:
+            b = D.Diffuse()  # default material (mesh.cpp:25-28)
+        row = self._blank()
+        if isinstance(b, D.Diffuse):
+            row["btype"] = BSDF_DIFFUSE
+            row["base_color"] = np.asarray(b.albedo, np.float32)
+        elif isinstance(b, D.Dielectric):
+            row["btype"] = BSDF_DIELECTRIC
+            row["int_ior"] = b.int_ior
+            row["ext_ior"] = b.ext_ior
+        elif isinstance(b, D.Mirror):
+            row["btype"] = BSDF_MIRROR
+        elif isinstance(b, D.Lambertian):
+            row["btype"] = BSDF_LAMBERTIAN
+            row["base_color"], row["tex_base"] = self._tex_or_const(b.albedo)
+        elif isinstance(b, D.GGX):
+            row["btype"] = BSDF_GGX
+            row["base_color"], row["tex_base"] = self._tex_or_const(b.albedo)
+            row["roughness"] = b.roughness
+            row["anisotropy"] = b.anisotropy
+        elif isinstance(b, D.RoughConductor):
+            row["btype"] = BSDF_ROUGHCONDUCTOR
+            eta, k = CONDUCTORS[b.material]
+            row["eta_c"] = np.asarray(eta, np.float32)
+            row["k_c"] = np.asarray(k, np.float32)
+            row["alpha"] = max(1e-3, b.alpha**2)  # bsdf.cpp:695-700
+        elif isinstance(b, D.RoughPlastic):
+            row["btype"] = BSDF_ROUGHPLASTIC
+            row["alpha"] = max(1e-3, b.alpha**2)
+            row["int_ior"] = b.int_ior
+            row["ext_ior"] = b.ext_ior
+            row["base_color"] = np.asarray(b.kd, np.float32)
+        elif isinstance(b, D.RoughDielectric):
+            row["btype"] = BSDF_ROUGHDIELECTRIC
+            row["alpha"] = max(1e-3, b.roughness**2)
+            row["int_ior"] = b.int_ior
+            row["ext_ior"] = b.ext_ior
+        elif isinstance(b, D.KazenStandard):
+            row["btype"] = BSDF_KISS
+            row["base_color"], row["tex_base"] = self._tex_or_const(b.base_color)
+            mc, mt = self._tex_or_const(b.metallic)
+            row["metallic"], row["tex_metallic"] = float(mc[0]), mt
+            rc, rt = self._tex_or_const(b.roughness)
+            row["roughness"], row["tex_roughness"] = float(rc[0]), rt
+            row["anisotropy"] = b.anisotropy
+            row["specular"] = b.specular
+            row["specular_tint"] = b.specular_tint
+            row["clearcoat"] = b.clearcoat
+            row["clearcoat_roughness"] = b.clearcoat_roughness
+            row["sheen"] = b.sheen
+            row["sheen_tint"] = b.sheen_tint
+        elif isinstance(b, D.NormalMap):
+            nested_id = self.add(b.nested)
+            row = self._blank()
+            row["btype"] = BSDF_NORMALMAP
+            row["nested"] = nested_id
+            _, row["tex_normal"] = self._tex_or_const(b.normals)
+        else:
+            raise TypeError(f"unknown BSDF {type(b).__name__}")
+        self.rows.append(row)
+        return len(self.rows) - 1
+
+    def finish(self) -> MaterialTable:
+        if not self.rows:
+            self.add(D.Diffuse())
+        cols = {}
+        for name in self.FIELDS:
+            vals = [r[name] for r in self.rows]
+            if name in ("base_color", "eta_c", "k_c"):
+                cols[name] = jnp.asarray(np.stack(vals).astype(np.float32))
+            else:
+                cols[name] = jnp.asarray(np.asarray(vals, self.FIELDS[name]))
+        return MaterialTable(**cols)
+
+
+def compile_scene(scene: D.Scene) -> Tuple[SceneArrays, SceneStatic]:
+    packer = _TexturePacker()
+    mats = _MaterialBuilder(packer)
+
+    Vs, Fs, Ns, UVs = [], [], [], []
+    face_mesh = []
+    mesh_material = []
+    mesh_light = []
+    mesh_has_normals = []
+    mesh_has_uvs = []
+    lights = []  # (mesh_id, AreaLight, face_start, face_count, areas)
+
+    vert_off = 0
+    face_off = 0
+    for mi, mesh in enumerate(scene.meshes):
+        V, F, N, UV = _load_mesh_arrays(mesh)
+        nv, nf = len(V), len(F)
+        Vs.append(V)
+        Fs.append(F + vert_off)
+        Ns.append(N if N is not None else np.zeros((nv, 3), np.float32))
+        UVs.append(UV if UV is not None else np.zeros((nv, 2), np.float32))
+        face_mesh.append(np.full(nf, mi, np.int32))
+        mesh_material.append(mats.add(mesh.bsdf))
+        mesh_has_normals.append(N is not None)
+        mesh_has_uvs.append(UV is not None)
+        if mesh.light is not None:
+            p0 = V[F[:, 0]]
+            e1 = V[F[:, 1]] - p0
+            e2 = V[F[:, 2]] - p0
+            areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+            mesh_light.append(len(lights))
+            lights.append((mi, mesh.light, face_off, nf, areas))
+        else:
+            mesh_light.append(-1)
+        vert_off += nv
+        face_off += nf
+
+    V = np.concatenate(Vs) if Vs else np.zeros((0, 3), np.float32)
+    F = np.concatenate(Fs) if Fs else np.zeros((0, 3), np.int32)
+    N = np.concatenate(Ns) if Ns else np.zeros((0, 3), np.float32)
+    UV = np.concatenate(UVs) if UVs else np.zeros((0, 2), np.float32)
+    face_mesh = (
+        np.concatenate(face_mesh) if face_mesh else np.zeros((0,), np.int32)
+    )
+
+    # lights: per-light triangle CDF over global face ids (mesh.cpp:31-44)
+    L = len(lights)
+    max_lf = max((lf for (_, _, _, lf, _) in lights), default=1)
+    light_mesh = np.zeros((max(L, 1),), np.int32)
+    light_radiance = np.zeros((max(L, 1), 3), np.float32)
+    light_primary = np.zeros((max(L, 1),), bool)
+    light_cdf = np.zeros((max(L, 1), max_lf + 1), np.float32)
+    light_faces = np.zeros((max(L, 1), max_lf), np.int32)
+    light_inv_area = np.ones((max(L, 1),), np.float32)
+    for li, (mi, al, fstart, fcount, areas) in enumerate(lights):
+        light_mesh[li] = mi
+        light_radiance[li] = np.asarray(al.color, np.float32) * al.intensity
+        light_primary[li] = al.primary_visibility
+        total = float(areas.sum())
+        cdf = np.concatenate([[0.0], np.cumsum(areas / total, dtype=np.float64)])
+        cdf[-1] = 1.0
+        light_cdf[li, : fcount + 1] = cdf.astype(np.float32)
+        light_cdf[li, fcount + 1 :] = 1.0
+        light_faces[li, :fcount] = np.arange(fstart, fstart + fcount, dtype=np.int32)
+        light_faces[li, fcount:] = fstart + fcount - 1
+        light_inv_area[li] = 1.0 / total
+
+    # background
+    if scene.background is not None:
+        bg = scene.background
+        tex = D.as_texture(bg.texture) if bg.texture is not None else D.ConstantTexture((0, 0, 0))
+        if isinstance(tex, D.ConstantTexture):
+            bg_color = np.asarray(tex.color, np.float32)
+            bg_tex = -1
+        else:
+            bg_color = np.ones(3, np.float32)
+            bg_tex = packer.add(tex)
+        bg_intensity = float(bg.intensity)
+        has_bg = True
+    else:
+        bg_color = np.zeros(3, np.float32)
+        bg_tex = -1
+        bg_intensity = 1.0
+        has_bg = False
+
+    cam = scene.camera
+    sample_to_camera = _sample_to_camera_matrix(cam)
+    cam_to_world = (
+        np.asarray(cam.to_world, np.float32)
+        if cam.to_world is not None
+        else np.eye(4, dtype=np.float32)
+    )
+    camera_kind = (
+        "thinlens" if isinstance(cam, D.ThinlensCamera) else "perspective"
+    )
+    aperture = getattr(cam, "aperture_radius", 0.0)
+    focus = getattr(cam, "focus_distance", 0.0)
+
+    integ = scene.integrator
+    if isinstance(integ, D.PathMis):
+        max_depth = min(512, integ.max_depth)
+        trace_bias = integ.trace_bias
+        regularization = integ.regularization
+        accumulated_roughness = integ.accumulated_roughness
+    else:
+        max_depth = integ.max_depth
+        trace_bias = 1e-3
+        regularization = False
+        accumulated_roughness = 0.5
+
+    arrays = SceneArrays(
+        V=jnp.asarray(V),
+        F=jnp.asarray(F),
+        N=jnp.asarray(N),
+        UV=jnp.asarray(UV),
+        face_mesh=jnp.asarray(face_mesh),
+        mesh_material=jnp.asarray(np.asarray(mesh_material, np.int32)),
+        mesh_light=jnp.asarray(np.asarray(mesh_light, np.int32)),
+        mesh_has_normals=jnp.asarray(np.asarray(mesh_has_normals, bool)),
+        mesh_has_uvs=jnp.asarray(np.asarray(mesh_has_uvs, bool)),
+        materials=mats.finish(),
+        textures=packer.finish(),
+        light_mesh=jnp.asarray(light_mesh),
+        light_radiance=jnp.asarray(light_radiance),
+        light_primary_vis=jnp.asarray(light_primary),
+        light_cdf=jnp.asarray(light_cdf),
+        light_faces=jnp.asarray(light_faces),
+        light_inv_area=jnp.asarray(light_inv_area),
+        bg_color=jnp.asarray(bg_color),
+        bg_tex=jnp.asarray(bg_tex, jnp.int32),
+        bg_intensity=jnp.asarray(bg_intensity, jnp.float32),
+        cam_to_world=jnp.asarray(cam_to_world),
+        sample_to_camera=jnp.asarray(sample_to_camera),
+        cam_near=jnp.asarray(cam.near_clip, jnp.float32),
+        cam_far=jnp.asarray(cam.far_clip, jnp.float32),
+        aperture_radius=jnp.asarray(aperture, jnp.float32),
+        focus_distance=jnp.asarray(focus, jnp.float32),
+    )
+    static = SceneStatic(
+        width=cam.width,
+        height=cam.height,
+        camera_kind=camera_kind,
+        num_meshes=len(scene.meshes),
+        num_materials=len(mats.rows),
+        num_lights=L,
+        btypes_present=tuple(sorted({int(r["btype"]) for r in mats.rows})),
+        has_background=has_bg,
+        sampler_kind=scene.sampler.kind,
+        sample_count=scene.sampler.sample_count,
+        seed=scene.sampler.seed,
+        max_depth=max_depth,
+        trace_bias=trace_bias,
+        regularization=regularization,
+        accumulated_roughness=accumulated_roughness,
+        rfilter_kind=scene.rfilter.kind,
+        rfilter_radius=scene.rfilter.radius,
+        rfilter_stddev=scene.rfilter.stddev,
+        rfilter_b=scene.rfilter.b,
+        rfilter_c=scene.rfilter.c,
+    )
+    return arrays, static
+
+
+def _sample_to_camera_matrix(cam: D.PerspectiveCamera) -> np.ndarray:
+    """Perspective projection + screen mapping inverse (camera.cpp:35-63)."""
+    aspect = cam.width / cam.height
+    recip = 1.0 / (cam.far_clip - cam.near_clip)
+    cot = 1.0 / np.tan(np.deg2rad(cam.fov / 2.0))
+    perspective = np.array(
+        [
+            [cot, 0, 0, 0],
+            [0, cot, 0, 0],
+            [0, 0, cam.far_clip * recip, -cam.near_clip * cam.far_clip * recip],
+            [0, 0, 1, 0],
+        ],
+        np.float64,
+    )
+    scale = np.diag([-0.5, -0.5 * aspect, 1.0, 1.0])
+    translate = np.eye(4)
+    translate[:3, 3] = [-1.0, -1.0 / aspect, 0.0]
+    m = scale @ translate @ perspective
+    return np.linalg.inv(m).astype(np.float32)

@@ -1,0 +1,126 @@
+"""Post-intersection shading preparation (the "hit-shade prep" stage).
+
+Vectorized, differentiable port of the reference's post-Embree computation
+(accel.cpp:113-236): Hanika shadow-terminator-corrected hit point, geometric
+frame, UV interpolation, dpdu/dpdv tangent frame with degenerate-UV and
+missing-normal fallbacks.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core import math as km
+from ..core.math import Frame
+from ..accel.intersect import Hit, Rays
+
+
+class Interaction(NamedTuple):
+    p: jnp.ndarray  # (N, 3) Hanika-corrected hit point
+    t: jnp.ndarray  # (N,)
+    uv: jnp.ndarray  # (N, 2)
+    sh_frame: Frame  # shading frame (s, t, n) each (N, 3)
+    geo_frame: Frame
+    dpdu: jnp.ndarray  # (N, 3)
+    dpdv: jnp.ndarray  # (N, 3)
+    mesh: jnp.ndarray  # (N,) int32
+    material: jnp.ndarray  # (N,) int32
+    light: jnp.ndarray  # (N,) int32, -1 = not emissive
+    valid: jnp.ndarray  # (N,) bool
+
+
+def prepare(scene, rays: Rays, hit: Hit) -> Interaction:
+    f = jnp.clip(hit.face, 0, scene.F.shape[0] - 1)
+    idx = scene.F[f]  # (N, 3)
+    p0 = scene.V[idx[:, 0]]
+    p1 = scene.V[idx[:, 1]]
+    p2 = scene.V[idx[:, 2]]
+    n0 = scene.N[idx[:, 0]]
+    n1 = scene.N[idx[:, 1]]
+    n2 = scene.N[idx[:, 2]]
+    uv0 = scene.UV[idx[:, 0]]
+    uv1 = scene.UV[idx[:, 1]]
+    uv2 = scene.UV[idx[:, 2]]
+
+    mesh = scene.face_mesh[f]
+    has_n = scene.mesh_has_normals[mesh]
+    has_uv = scene.mesh_has_uvs[mesh]
+
+    b0 = (1.0 - hit.u - hit.v)[:, None]
+    b1 = hit.u[:, None]
+    b2 = hit.v[:, None]
+
+    # Hanika 2021 terminator offset (accel.cpp:141-153): project the
+    # barycentric point onto each vertex-normal tangent plane and re-average.
+    orig_p = b0 * p0 + b1 * p1 + b2 * p2
+    tmpu = orig_p - p0
+    tmpv = orig_p - p1
+    tmpw = orig_p - p2
+    dotu = jnp.minimum(0.0, km.dot(tmpu, n0))[:, None]
+    dotv = jnp.minimum(0.0, km.dot(tmpv, n1))[:, None]
+    dotw = jnp.minimum(0.0, km.dot(tmpw, n2))[:, None]
+    tmpu = tmpu - dotu * n0
+    tmpv = tmpv - dotv * n1
+    tmpw = tmpw - dotw * n2
+    p_hanika = orig_p + b0 * tmpu + b1 * tmpv + b2 * tmpw
+    # Without vertex normals the offset is meaningless -- use the plain point.
+    p = jnp.where(has_n[:, None], p_hanika, orig_p)
+
+    # Geometric frame (accel.cpp:156-158)
+    dp0 = p1 - p0
+    dp1 = p2 - p0
+    gn = km.normalize(km.cross(dp0, dp1))
+    geo_frame = km.frame_from_normal(gn)
+
+    # UV interpolation (accel.cpp:160-164); prim uv fallback otherwise
+    uv_interp = b0 * uv0 + b1 * uv1 + b2 * uv2
+    uv = jnp.where(has_uv[:, None], uv_interp, jnp.stack([hit.u, hit.v], -1))
+
+    # Shading frame (accel.cpp:166-235)
+    sh_normal = b0 * n0 + b1 * n1 + b2 * n2
+    sh_n = km.normalize(sh_normal)
+
+    duv0 = uv1 - uv0
+    duv1 = uv2 - uv0
+    determinant = duv0[:, 0] * duv1[:, 1] - duv0[:, 1] * duv1[:, 0]
+    cross_len = km.norm(km.cross(dp0, dp1))
+    uv_ok = has_n & has_uv & (cross_len > 0.0) & (determinant > 0.0)
+
+    inv_det = 1.0 / jnp.where(determinant != 0.0, determinant, 1.0)
+    dpdu_uv = (duv1[:, 1:2] * dp0 - duv0[:, 1:2] * dp1) * inv_det[:, None]
+    dpdv_uv = (-duv1[:, 0:1] * dp0 + duv0[:, 0:1] * dp1) * inv_det[:, None]
+
+    # Gram-Schmidt tangent frame from dpdu (accel.cpp:197-200)
+    s_uv = km.normalize(
+        dpdu_uv - sh_normal * km.dot(sh_normal, dpdu_uv, keepdims=True)
+    )
+    t_uv = km.normalize(km.cross(sh_n, s_uv))
+
+    # Fallback: arbitrary frame around the (shading or geometric) normal
+    n_fallback = jnp.where(has_n[:, None], sh_n, gn)
+    fallback = km.frame_from_normal(n_fallback)
+
+    sh_frame = Frame(
+        s=jnp.where(uv_ok[:, None], s_uv, fallback.s),
+        t=jnp.where(uv_ok[:, None], t_uv, fallback.t),
+        n=jnp.where(uv_ok[:, None], sh_n, n_fallback),
+    )
+    dpdu = jnp.where(uv_ok[:, None], dpdu_uv, fallback.s)
+    dpdv = jnp.where(uv_ok[:, None], dpdv_uv, fallback.t)
+
+    material = scene.mesh_material[mesh]
+    light = scene.mesh_light[mesh]
+    return Interaction(
+        p=p,
+        t=hit.t,
+        uv=uv,
+        sh_frame=sh_frame,
+        geo_frame=geo_frame,
+        dpdu=dpdu,
+        dpdv=dpdv,
+        mesh=mesh,
+        material=material,
+        light=jnp.where(hit.valid, light, -1),
+        valid=hit.valid,
+    )

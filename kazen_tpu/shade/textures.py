@@ -1,0 +1,67 @@
+"""Texture evaluation over the flat texel pool.
+
+The reference uses OIIO's lazy TextureSystem (texture.cpp:46-98); on TPU all
+textures are HBM-resident up front (SURVEY §2.7) and lookups are bilinear
+gathers with periodic wrap and the reference's v-flip + uv-scale conventions
+(texture.cpp:55: st = (u*scale, (1-v)*scale)). sRGB->linear conversion is
+applied at load time by the scene compiler (the reference converts after
+filtering; linearize-then-filter is the more correct order and the diff is
+sub-quantization for 8-bit sources). Gathers are differentiable w.r.t. the
+texel pool (adjoint = scatter-add), which the inverse-rendering path uses.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import math as km
+
+
+def _bilinear(pool, tid, x, y):
+    """Bilinear fetch at continuous pixel coords (x, y) with periodic wrap."""
+    w = pool.width[tid]
+    h = pool.height[tid]
+    off = pool.offset[tid]
+    x = x - 0.5
+    y = y - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0.astype(jnp.int32) + 1, w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    y1i = jnp.mod(y0.astype(jnp.int32) + 1, h)
+    c00 = pool.texels[off + y0i * w + x0i]
+    c10 = pool.texels[off + y0i * w + x1i]
+    c01 = pool.texels[off + y1i * w + x0i]
+    c11 = pool.texels[off + y1i * w + x1i]
+    return (
+        c00 * (1 - fx) * (1 - fy)
+        + c10 * fx * (1 - fy)
+        + c01 * (1 - fx) * fy
+        + c11 * fx * fy
+    )
+
+
+def eval_texture(pool, tex_id, uv, const_color):
+    """Texture<Color3f>::eval(uv): image lookup where tex_id >= 0, else the
+    per-lane constant color."""
+    tid = jnp.maximum(tex_id, 0)
+    scale = pool.uv_scale[tid]
+    u = uv[..., 0] * scale
+    v = (1.0 - uv[..., 1]) * scale
+    w = pool.width[tid].astype(jnp.float32)
+    h = pool.height[tid].astype(jnp.float32)
+    val = _bilinear(pool, tid, u * w, v * h)
+    return jnp.where((tex_id >= 0)[..., None], val, const_color)
+
+
+def eval_texture_dir(pool, tex_id, d, const_color):
+    """Directional (environment) lookup: Blinn/Newell lat-long mapping, the
+    convention intended by the reference (scene.cpp:58-63 commented block /
+    OIIO environment): u = (atan2(x, z) + pi) / 2pi, v = (asin(y) + pi/2)/pi.
+    """
+    u = (jnp.arctan2(d[..., 0], d[..., 2]) + jnp.pi) * km.INV_TWOPI
+    v = (jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0)) + 0.5 * jnp.pi) * km.INV_PI
+    uv = jnp.stack([u, v], -1)
+    return eval_texture(pool, tex_id, uv, const_color)

@@ -44,7 +44,7 @@ def sample_reuse(d: DiscretePDF, u):
     idx = sample(d, u)
     lo = d.cdf[idx]
     hi = d.cdf[idx + 1]
-    return idx, (u - lo) / jnp.maximum(hi - lo, 1e-20)
+    return idx, (u - lo) / jnp.maximum(hi - lo, 1e-9)
 
 
 def pdf_of(d: DiscretePDF, idx):

@@ -26,11 +26,12 @@ def cross(a, b):
 
 
 def norm(v, keepdims: bool = False):
-    return jnp.sqrt(jnp.maximum(dot(v, v, keepdims=keepdims), 0.0))
+    # clamp keeps d(sqrt)/dx finite at zero-length (masked-lane grad safety)
+    return jnp.sqrt(jnp.maximum(dot(v, v, keepdims=keepdims), 1e-18))
 
 
 def normalize(v):
-    return v / jnp.maximum(norm(v, keepdims=True), 1e-20)
+    return v / jnp.maximum(norm(v, keepdims=True), 1e-9)
 
 
 def sqr(x):

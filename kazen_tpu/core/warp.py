@@ -95,7 +95,7 @@ def square_to_cosine_hemisphere_pdf(v):
 def square_to_beckmann(s, alpha):
     phi = 2.0 * jnp.pi * s[..., 0]
     theta = jnp.arctan(
-        alpha * jnp.sqrt(jnp.log(1.0 / jnp.maximum(1.0 - s[..., 1], 1e-20)))
+        alpha * jnp.sqrt(jnp.log(1.0 / jnp.maximum(1.0 - s[..., 1], 1e-9)))
     )
     st, ct = jnp.sin(theta), jnp.cos(theta)
     return vec3(st * jnp.cos(phi), st * jnp.sin(phi), ct)
@@ -103,8 +103,8 @@ def square_to_beckmann(s, alpha):
 
 def square_to_beckmann_pdf(m, alpha):
     ct = jnp.clip(m[..., 2], -1.0, 1.0)
-    tan2 = jnp.maximum(1.0 - ct * ct, 0.0) / jnp.maximum(ct * ct, 1e-20)
+    tan2 = jnp.maximum(1.0 - ct * ct, 0.0) / jnp.maximum(ct * ct, 1e-9)
     pdf = jnp.exp(-tan2 / (alpha * alpha)) / (
-        jnp.pi * alpha * alpha * jnp.maximum(ct, 1e-20) ** 3
+        jnp.pi * alpha * alpha * jnp.maximum(ct, 1e-9) ** 3
     )
     return jnp.where(ct > 0.0, pdf, 0.0)

@@ -111,7 +111,7 @@ def splat(static, film, pixel_sample, value):
 def to_bitmap(film):
     """Divide accumulated RGB by filter weight (block.cpp:39-45)."""
     w = film[..., 3:4]
-    return jnp.where(w > 0.0, film[..., :3] / jnp.maximum(w, 1e-20), 0.0)
+    return jnp.where(w > 0.0, film[..., :3] / jnp.maximum(w, 1e-9), 0.0)
 
 
 def to_srgb8(img):

@@ -114,6 +114,7 @@ class _State(NamedTuple):
     bsdf_weight: jnp.ndarray  # (N,)
     accum_rough: jnp.ndarray  # (N,)
     alive: jnp.ndarray  # (N,) bool
+    rays: jnp.ndarray  # () f32: useful rays traced (primary+shadow+path)
 
 
 def _light_eval_at_hit(scene, its: Interaction, ray_o):
@@ -126,7 +127,7 @@ def _light_eval_at_hit(scene, its: Interaction, ray_o):
 def _light_pdf_at_hit(scene, its: Interaction, ray_o):
     to_p = its.p - ray_o
     dist = km.norm(to_p)
-    wi = to_p / jnp.maximum(dist, 1e-20)[:, None]
+    wi = to_p / jnp.maximum(dist, 1e-9)[:, None]
     lidx = jnp.maximum(its.light, 0)
     return lights_mod.pdf_area_light(scene, lidx, its.sh_frame.n, wi, dist)
 
@@ -161,7 +162,7 @@ def _bounce(scene, static, spec, st: _State, draw_rr: bool) -> _State:
         dead = prob <= u_rr
         alive = alive & ~dead
         throughput = jnp.where(
-            alive[:, None], throughput / jnp.maximum(prob, 1e-20)[:, None], throughput
+            alive[:, None], throughput / jnp.maximum(prob, 1e-9)[:, None], throughput
         )
 
     # (3) NEE (integrator.cpp:247-294)
@@ -196,6 +197,9 @@ def _bounce(scene, static, spec, st: _State, draw_rr: bool) -> _State:
         w_light = power_heuristic(ls.pdf, pdf_b)
         contrib = throughput * ls_val * f * w_light[:, None]
         li = li + jnp.where((alive & ~occluded)[:, None], contrib, 0.0)
+        n_shadow_rays = jnp.sum(alive.astype(jnp.float32))
+    else:
+        n_shadow_rays = jnp.float32(0.0)
 
     # (4) roughness-bias firefly control (integrator.cpp:297-301)
     if static.regularization:
@@ -234,6 +238,8 @@ def _bounce(scene, static, spec, st: _State, draw_rr: bool) -> _State:
     hit = intersect(scene, rays)
     new_its = prepare(scene, rays, hit)
 
+    n_path_rays = jnp.sum(alive.astype(jnp.float32))
+
     missed = alive & ~hit.valid
     bg = lights_mod.background_radiance(scene, static, new_d)
     li = li + jnp.where(missed[:, None], throughput * bg, 0.0)
@@ -266,6 +272,7 @@ def _bounce(scene, static, spec, st: _State, draw_rr: bool) -> _State:
         bsdf_weight=bsdf_weight,
         accum_rough=accum,
         alive=alive,
+        rays=st.rays + n_shadow_rays + n_path_rays,
     )
 
 
@@ -306,6 +313,7 @@ def li_wavefront(scene, static, spec, stream, rays: Rays):
         bsdf_weight=jnp.ones(n, jnp.float32),
         accum_rough=jnp.zeros(n, jnp.float32),
         alive=its.valid,
+        rays=jnp.sum(jnp.ones(n, jnp.float32)),
     )
 
     n_unrolled = min(static.max_depth, 3)
@@ -319,4 +327,4 @@ def li_wavefront(scene, static, spec, stream, rays: Rays):
 
         st, _ = jax.lax.scan(body, st, None, length=n_scan)
 
-    return st.stream, st.li
+    return st.stream, st.li, st.rays

@@ -45,7 +45,7 @@ def _render_pass(scene, static, spec, film, px, py, sample_index, jump):
     )
     stream, aperture = streams.next_2d(spec, stream)
     rays = camera_mod.sample_ray(scene, static, pixel_sample, aperture)
-    _, li = li_wavefront(scene, static, spec, stream, rays)
+    _, li, _ = li_wavefront(scene, static, spec, stream, rays)
     return film_mod.splat(static, film, pixel_sample, li)
 
 

@@ -145,7 +145,7 @@ def _load_mesh_arrays(m: D.Mesh):
         if N is not None:
             nmat = np.linalg.inv(t[:3, :3]).T
             N = N @ nmat.T
-            N /= np.maximum(np.linalg.norm(N, axis=-1, keepdims=True), 1e-20)
+            N /= np.maximum(np.linalg.norm(N, axis=-1, keepdims=True), 1e-9)
     return V, F, N, UV
 
 

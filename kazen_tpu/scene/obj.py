@@ -55,7 +55,7 @@ def load_obj(
             nmat = np.linalg.inv(m[:3, :3]).T
             normals_arr = normals_arr @ nmat.T
             normals_arr /= np.maximum(
-                np.linalg.norm(normals_arr, axis=-1, keepdims=True), 1e-20
+                np.linalg.norm(normals_arr, axis=-1, keepdims=True), 1e-9
             )
 
     # Dedup identical (p, uv, n) triples into shared vertices.

@@ -130,7 +130,7 @@ def _ggx_pdf(mp, wi, wo):
     h = km.normalize(wi + wo)
     alpha = ggx.roughness_to_alpha(mp.roughness, mp.anisotropy)
     denom = 4.0 * km.dot(wi, h)
-    pdf = ggx.vndf(wi, h, alpha) / jnp.where(denom == 0.0, 1e-20, denom)
+    pdf = ggx.vndf(wi, h, alpha) / jnp.where(denom == 0.0, 1e-9, denom)
     m = (_cos(wi) > 0.0) & (_cos(wo) > 0.0)
     return jnp.where(m, pdf, 0.0)
 
@@ -141,7 +141,7 @@ def _ggx_sample(scene, mp, uv, wi, s2):
     wo = km.reflect(wi, h)
     val = _ggx_eval(scene, mp, uv, wi, wo)
     pdf = _ggx_pdf(mp, wi, wo)
-    w = val / jnp.maximum(pdf, 1e-20)[..., None]
+    w = val / jnp.maximum(pdf, 1e-9)[..., None]
     m = (_cos(wi) > 0.0) & (_cos(wo) > 0.0) & (pdf > 0.0)
     return wo, _mask3(m, w), jnp.ones(wi.shape[:-1]), jnp.zeros(wi.shape[:-1], bool)
 
@@ -153,7 +153,7 @@ def _roughconductor_eval(mp, wi, wo):
     g = ggx.smith_beckmann_g1(wi, wh, mp.alpha) * ggx.smith_beckmann_g1(
         wo, wh, mp.alpha
     )
-    val = (d * g / jnp.maximum(4.0 * _cos(wi), 1e-20))[..., None] * f
+    val = (d * g / jnp.maximum(4.0 * _cos(wi), 1e-9))[..., None] * f
     m = (_cos(wi) > 0.0) & (_cos(wo) > 0.0)
     return _mask3(m, val)
 
@@ -162,7 +162,7 @@ def _roughconductor_pdf(mp, wi, wo):
     wh = km.normalize(wi + wo)
     d = ggx.beckmann_ndf(wh, mp.alpha)
     denom = 4.0 * km.dot(wh, wo)
-    pdf = d * _cos(wh) / jnp.where(denom == 0.0, 1e-20, denom)
+    pdf = d * _cos(wh) / jnp.where(denom == 0.0, 1e-9, denom)
     m = (_cos(wi) > 0.0) & (_cos(wo) > 0.0)
     return jnp.where(m, pdf, 0.0)
 
@@ -172,7 +172,7 @@ def _roughconductor_sample(mp, wi, s2):
     wo = km.normalize(km.reflect(wi, wh))
     val = _roughconductor_eval(mp, wi, wo)
     pdf = _roughconductor_pdf(mp, wi, wo)
-    w = val / jnp.maximum(pdf, 1e-20)[..., None]
+    w = val / jnp.maximum(pdf, 1e-9)[..., None]
     m = (_cos(wi) > 0.0) & (_cos(wo) > 0.0) & (pdf > 0.0)
     return wo, _mask3(m, w), jnp.ones(wi.shape[:-1]), jnp.zeros(wi.shape[:-1], bool)
 
@@ -189,7 +189,7 @@ def _roughplastic_eval(mp, wi, wo):
         wi, wh, mp.alpha
     )
     ks = _roughplastic_ks(mp)
-    spec = ks * d * f * g / jnp.maximum(4.0 * _cos(wi), 1e-20)
+    spec = ks * d * f * g / jnp.maximum(4.0 * _cos(wi), 1e-9)
     val = mp.base_color * (km.INV_PI * _cos(wo))[..., None] + spec[..., None]
     m = (_cos(wi) > 0.0) & (_cos(wo) > 0.0)
     return _mask3(m, val)
@@ -198,7 +198,7 @@ def _roughplastic_eval(mp, wi, wo):
 def _roughplastic_pdf(mp, wi, wo):
     wh = km.normalize(wi + wo)
     d = ggx.beckmann_ndf(wh, mp.alpha)
-    jh = 1.0 / jnp.maximum(4.0 * jnp.abs(km.dot(wh, wo)), 1e-20)
+    jh = 1.0 / jnp.maximum(4.0 * jnp.abs(km.dot(wh, wo)), 1e-9)
     ks = _roughplastic_ks(mp)
     pdf = ks * d * _cos(wh) * jh + (1.0 - ks) * _cos(wo) * km.INV_PI
     m = (_cos(wi) > 0.0) & (_cos(wo) > 0.0)
@@ -213,7 +213,7 @@ def _roughplastic_sample(mp, wi, s1, s2):
     wo = jnp.where((s1 < ks)[..., None], wo_spec, wo_diff)
     val = _roughplastic_eval(mp, wi, wo)
     pdf = _roughplastic_pdf(mp, wi, wo)
-    w = val / jnp.maximum(pdf, 1e-20)[..., None]
+    w = val / jnp.maximum(pdf, 1e-9)[..., None]
     m = (_cos(wi) > 0.0) & (_cos(wo) > 0.0) & (pdf > 0.0)
     return wo, _mask3(m, w), jnp.ones(wi.shape[:-1]), jnp.zeros(wi.shape[:-1], bool)
 
@@ -243,7 +243,7 @@ def _roughdielectric_eval(mp, wi, wo):
     g = ggx.smith_beckmann_g1(wo, wm, mp.alpha) * ggx.smith_beckmann_g1(
         wi, wm, mp.alpha
     )
-    fr = f * g * d / jnp.maximum(4.0 * jnp.abs(cos_i), 1e-20)
+    fr = f * g * d / jnp.maximum(4.0 * jnp.abs(cos_i), 1e-9)
     denom = km.dot(wi, wm) + eta * km.dot(wo, wm)
     ft = jnp.abs(
         (1.0 - f)
@@ -253,7 +253,7 @@ def _roughdielectric_eval(mp, wi, wo):
         * eta
         * km.dot(wi, wm)
         * km.dot(wo, wm)
-        / jnp.where(cos_i * km.sqr(denom) == 0.0, 1e-20, cos_i * km.sqr(denom))
+        / jnp.where(cos_i * km.sqr(denom) == 0.0, 1e-9, cos_i * km.sqr(denom))
     )
     val = jnp.where(is_reflect, fr, ft)
     val = jnp.where(cos_i == 0.0, 0.0, val)
@@ -272,10 +272,10 @@ def _roughdielectric_pdf(mp, wi, wo):
     wm_t = wi + wo * eta[..., None]
     wm = km.normalize(jnp.where(is_reflect[..., None], wm_r, wm_t))
     dwm_r = 1.0 / jnp.where(
-        km.dot(wo, wm) == 0.0, 1e-20, 4.0 * km.dot(wo, wm)
+        km.dot(wo, wm) == 0.0, 1e-9, 4.0 * km.dot(wo, wm)
     )
     sqrt_denom = km.dot(wi, wm) + eta * km.dot(wo, wm)
-    dwm_t = (eta * eta * km.dot(wo, wm)) / jnp.maximum(km.sqr(sqrt_denom), 1e-20)
+    dwm_t = (eta * eta * km.dot(wo, wm)) / jnp.maximum(km.sqr(sqrt_denom), 1e-9)
     dwm_dwo = jnp.where(is_reflect, dwm_r, dwm_t)
     wm = wm * jnp.sign(_cos(wm))[..., None]
     f, _ = km.fresnel_dielectric(km.dot(wi, wm), eta0)
@@ -312,7 +312,7 @@ def _roughdielectric_sample(mp, wi, s1, s2):
         d
         * g
         * km.dot(wi, wm)
-        / jnp.where(pdf_m * cos_i == 0.0, 1e-20, pdf_m * cos_i)
+        / jnp.where(pdf_m * cos_i == 0.0, 1e-9, pdf_m * cos_i)
     )
     w3 = _mask3(ok, w[..., None] * jnp.ones_like(wi))
     return wo, w3, eta, jnp.zeros(cos_i.shape, bool)
@@ -352,7 +352,7 @@ def _kiss_eval(scene, mp, uv, wi, wo, accum_rough):
     roughness = jnp.minimum(1.0, rough_tex + accum_rough)
     cdlum = km.luminance(cdlin)
     ctint = jnp.where(
-        (cdlum > 0.0)[..., None], cdlin / jnp.maximum(cdlum, 1e-20)[..., None], 1.0
+        (cdlum > 0.0)[..., None], cdlin / jnp.maximum(cdlum, 1e-9)[..., None], 1.0
     )
     ctintmix = (0.08 * mp.specular)[..., None] * (
         km.lerp(mp.specular_tint[..., None], jnp.ones_like(ctint), ctint)
@@ -394,7 +394,7 @@ def _kiss_pdf(scene, mp, uv, wi, wo, accum_rough):
     gtr2 = 1.0 / (1.0 + mp.clearcoat)
     h = km.normalize(wi + wo)
     jacobian = 4.0 * km.dot(wi, h)
-    jacobian = jnp.where(jacobian == 0.0, 1e-20, jacobian)
+    jacobian = jnp.where(jacobian == 0.0, 1e-9, jacobian)
     roughness = jnp.minimum(1.0, rough_tex + accum_rough)
     alpha = ggx.roughness_to_alpha(roughness, mp.anisotropy)
     spec_pdf = ggx.vndf(wi, h, alpha) / jacobian
@@ -418,7 +418,7 @@ def _kiss_sample(scene, mp, uv, wi, s1, s2, accum_rough):
 
     # Specular/clearcoat H: lobe select by rescaled sample1 (bsdf.cpp:1317-1336)
     # NOTE (reference parity): sample's H uses the *unregularized* roughness.
-    s_rescaled = (s1 - diffuse) / jnp.maximum(1.0 - diffuse, 1e-20)
+    s_rescaled = (s1 - diffuse) / jnp.maximum(1.0 - diffuse, 1e-9)
     flip = _cos(wi) <= 0.0
     wi_f = jnp.where(flip[..., None], -wi, wi)
     alpha_spec = ggx.roughness_to_alpha(rough_tex, mp.anisotropy)
@@ -434,7 +434,7 @@ def _kiss_sample(scene, mp, uv, wi, s1, s2, accum_rough):
     wo = jnp.where((s1 < diffuse)[..., None], wo_diff, wo_spec)
     val = _kiss_eval(scene, mp, uv, wi, wo, accum_rough)
     pdf = _kiss_pdf(scene, mp, uv, wi, wo, accum_rough)
-    w = val / jnp.maximum(pdf, 1e-20)[..., None]
+    w = val / jnp.maximum(pdf, 1e-9)[..., None]
     ok = (
         (_cos(wi) > 0.0)
         & (_cos(wo) > 0.0)

@@ -29,7 +29,7 @@ def roughness_to_alpha(roughness, anisotropy):
 
 def _lambda(v, alpha):
     """Smith lambda (ggx_brdf.h:41-45)."""
-    vz2 = jnp.maximum(km.sqr(v[..., 2]), 1e-20)
+    vz2 = jnp.maximum(km.sqr(v[..., 2]), 1e-9)
     squared = (
         km.sqr(alpha[..., 0]) * km.sqr(v[..., 0])
         + km.sqr(alpha[..., 1]) * km.sqr(v[..., 1])
@@ -65,7 +65,7 @@ def vndf(v, h, alpha):
     vdoth = km.dot(v, h)
     d = ggx_ndf(h, alpha)
     g1 = smith_g1(v, h, alpha)
-    vz = jnp.where(v[..., 2] == 0.0, 1e-20, v[..., 2])
+    vz = jnp.where(v[..., 2] == 0.0, 1e-9, v[..., 2])
     val = d * g1 * vdoth / vz
     return jnp.where(vdoth <= 0.0, 0.0, val)
 
@@ -78,7 +78,7 @@ def sample_vndf(v, alpha, u2):
         )
     )
     lensq = km.sqr(vh[..., 0]) + km.sqr(vh[..., 1])
-    inv_len = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-20))
+    inv_len = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-9))
     t1 = jnp.where(
         (lensq > 0.0)[..., None],
         jnp.stack([-vh[..., 1] * inv_len, vh[..., 0] * inv_len, jnp.zeros_like(inv_len)], -1),
@@ -117,7 +117,7 @@ def eval_ggx_smith_brdf(v, l, f0, roughness, anisotropy):
     g = smith_g2(v, l, h, alpha)
     f = schlick_fresnel(f0, km.dot(v, h))
     denom = 4.0 * jnp.abs(v[..., 2]) * jnp.abs(l[..., 2])
-    brdf = (d * g / jnp.maximum(denom, 1e-20))[..., None] * f
+    brdf = (d * g / jnp.maximum(denom, 1e-9))[..., None] * f
     zero = (v[..., 2] * l[..., 2] < 0.0)[..., None]
     return jnp.where(zero, 0.0, brdf), f
 
@@ -131,7 +131,7 @@ def eval_ggx_smith_brdf(v, l, f0, roughness, anisotropy):
 def beckmann_ndf(m, alpha):
     """evalBeckmann: exp(-tan^2/a^2) / (pi a^2 cos^4)."""
     ct = m[..., 2]
-    ct2 = jnp.maximum(km.sqr(ct), 1e-20)
+    ct2 = jnp.maximum(km.sqr(ct), 1e-9)
     tan2 = jnp.maximum(1.0 - km.sqr(ct), 0.0) / ct2
     return jnp.exp(-tan2 / km.sqr(alpha)) / (jnp.pi * km.sqr(alpha) * km.sqr(ct2))
 
@@ -140,9 +140,9 @@ def smith_beckmann_g1(v, m, alpha):
     """Rational-approx Smith-Beckmann G1 (bsdf.cpp:737-757)."""
     ct = v[..., 2]
     tan_theta = jnp.abs(
-        jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0)) / jnp.where(ct == 0.0, 1e-20, ct)
+        jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0)) / jnp.where(ct == 0.0, 1e-9, ct)
     )
-    a = 1.0 / (alpha * jnp.maximum(tan_theta, 1e-20))
+    a = 1.0 / (alpha * jnp.maximum(tan_theta, 1e-9))
     a2 = a * a
     approx = (3.535 * a + 2.181 * a2) / (1.0 + 2.276 * a + 2.577 * a2)
     g = jnp.where((a >= 1.6) | (tan_theta == 0.0), 1.0, approx)

@@ -69,13 +69,13 @@ def sample_area_light(scene, light_idx, ref_p, u_tri, u1, u2):
 
     to_light = p - ref_p
     dist = km.norm(to_light)
-    wi = to_light / jnp.maximum(dist, 1e-20)[:, None]
+    wi = to_light / jnp.maximum(dist, 1e-9)[:, None]
 
     pdf = pdf_area_light(scene, light_idx, n, wi, dist)
     radiance = eval_area_light(scene, light_idx, n, wi)
     valid = (pdf > 0.0) & jnp.isfinite(pdf)
     ls = jnp.where(
-        valid[:, None], radiance / jnp.maximum(pdf, 1e-20)[:, None], 0.0
+        valid[:, None], radiance / jnp.maximum(pdf, 1e-9)[:, None], 0.0
     )
     return LightSample(p=p, n=n, wi=wi, dist=dist, pdf=pdf, ls=ls)
 
@@ -91,7 +91,7 @@ def pdf_area_light(scene, light_idx, n, wi, dist):
     """AreaLight::pdf (light.cpp:36-51): area->solid-angle conversion."""
     cos_theta = km.dot(n, -wi)
     inv_area = scene.light_inv_area[light_idx]
-    pdf = inv_area * km.sqr(dist) / jnp.maximum(cos_theta, 1e-20)
+    pdf = inv_area * km.sqr(dist) / jnp.maximum(cos_theta, 1e-9)
     return jnp.where(cos_theta > 0.0, pdf, 0.0)
 
 

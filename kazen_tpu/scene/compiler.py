@@ -103,6 +103,8 @@ class SceneArrays(NamedTuple):
     cam_far: jnp.ndarray  # ()
     aperture_radius: jnp.ndarray  # ()
     focus_distance: jnp.ndarray  # ()
+    # acceleration structure (accel/bvh.py); None = brute-force intersection
+    bvh: Optional[object] = None
 
 
 @dataclass(frozen=True)
@@ -343,7 +345,10 @@ class _MaterialBuilder:
         return MaterialTable(**cols)
 
 
-def compile_scene(scene: D.Scene) -> Tuple[SceneArrays, SceneStatic]:
+def compile_scene(
+    scene: D.Scene, use_bvh: Optional[bool] = None
+) -> Tuple[SceneArrays, SceneStatic]:
+    """use_bvh: None = auto (BVH when the scene has >64 faces)."""
     packer = _TexturePacker()
     mats = _MaterialBuilder(packer)
 
@@ -453,6 +458,14 @@ def compile_scene(scene: D.Scene) -> Tuple[SceneArrays, SceneStatic]:
         regularization = False
         accumulated_roughness = 0.5
 
+    if use_bvh is None:
+        use_bvh = len(F) > 64
+    bvh = None
+    if use_bvh:
+        from ..accel.bvh import build_bvh
+
+        bvh = build_bvh(V, F)
+
     arrays = SceneArrays(
         V=jnp.asarray(V),
         F=jnp.asarray(F),
@@ -480,6 +493,7 @@ def compile_scene(scene: D.Scene) -> Tuple[SceneArrays, SceneStatic]:
         cam_far=jnp.asarray(cam.far_clip, jnp.float32),
         aperture_radius=jnp.asarray(aperture, jnp.float32),
         focus_distance=jnp.asarray(focus, jnp.float32),
+        bvh=bvh,
     )
     static = SceneStatic(
         width=cam.width,

@@ -38,7 +38,9 @@ def _pass_contributions(scene, static, spec, px, py, sample_index, jump):
     pixel_sample = jnp.stack([px, py], -1).astype(jnp.float32) + jitter
     stream, aperture = streams.next_2d(spec, stream)
     rays = camera_mod.sample_ray(scene, static, pixel_sample, aperture)
-    _, li, _ = li_wavefront(scene, static, spec, stream, rays)
+    from ..integrate.render import li_fn_for
+
+    _, li, _ = li_fn_for(static)(scene, static, spec, stream, rays)
     return pixel_sample, li
 
 

@@ -88,23 +88,23 @@ def splat(static, film, pixel_sample, value):
 
     contrib = jnp.concatenate([value, jnp.ones_like(value[:, :1])], axis=-1)
 
-    offs = jnp.arange(k)
-    xs = x0[:, None] + offs[None, :]  # (N, k)
-    ys = y0[:, None] + offs[None, :]
-    wx = filter_eval(static, xs.astype(jnp.float32) - px[:, None])  # (N, k)
-    wy = filter_eval(static, ys.astype(jnp.float32) - py[:, None])
-    in_x = (xs >= 0) & (xs < static.width)
-    in_y = (ys >= 0) & (ys < static.height)
-    wx = jnp.where(in_x, wx, 0.0)
-    wy = jnp.where(in_y, wy, 0.0)
-
-    w2 = wx[:, None, :] * wy[:, :, None]  # (N, k, k) [y, x]
-    vals = contrib[:, None, None, :] * w2[..., None]  # (N, k, k, 4)
-    xi = jnp.clip(xs, 0, static.width - 1)
-    yi = jnp.clip(ys, 0, static.height - 1)
-    flat_idx = (yi[:, :, None] * static.width + xi[:, None, :]).reshape(-1)
+    # One (N, 4) scatter-add per static footprint offset: keeps every
+    # intermediate at (N, 4)/(N,) -- a (N, k, k, 4) tensor gets padded ~57x
+    # by TPU tiling and OOMs at 1080p.
     film_flat = film.reshape(-1, 4)
-    film_flat = film_flat.at[flat_idx].add(vals.reshape(-1, 4))
+    for dy in range(k):
+        ys = y0 + dy
+        wy = filter_eval(static, ys.astype(jnp.float32) - py)
+        wy = jnp.where((ys >= 0) & (ys < static.height), wy, 0.0)
+        yi = jnp.clip(ys, 0, static.height - 1)
+        for dx in range(k):
+            xs = x0 + dx
+            wx = filter_eval(static, xs.astype(jnp.float32) - px)
+            wx = jnp.where((xs >= 0) & (xs < static.width), wx, 0.0)
+            xi = jnp.clip(xs, 0, static.width - 1)
+            w = (wx * wy)[:, None]
+            idx = yi * static.width + xi
+            film_flat = film_flat.at[idx].add(contrib * w)
     return film_flat.reshape(film.shape)
 
 

@@ -20,6 +20,14 @@ from . import camera as camera_mod
 from .path_mis import li_wavefront
 
 
+def li_fn_for(static):
+    if static.integrator_kind == "path_mis":
+        return li_wavefront
+    from .simple import LI_FNS
+
+    return LI_FNS[static.integrator_kind]
+
+
 def sampler_spec(static, tables=None) -> SamplerSpec:
     kw = {}
     if tables is not None:
@@ -45,7 +53,7 @@ def _render_pass(scene, static, spec, film, px, py, sample_index, jump):
     )
     stream, aperture = streams.next_2d(spec, stream)
     rays = camera_mod.sample_ray(scene, static, pixel_sample, aperture)
-    _, li, _ = li_wavefront(scene, static, spec, stream, rays)
+    _, li, _ = li_fn_for(static)(scene, static, spec, stream, rays)
     return film_mod.splat(static, film, pixel_sample, li)
 
 

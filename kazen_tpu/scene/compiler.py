@@ -120,6 +120,7 @@ class SceneStatic:
     sampler_kind: str
     sample_count: int
     seed: int
+    integrator_kind: str  # path_mis | normals | ao | whitted | path_mats
     # path_mis params (integrator.cpp:189-192)
     max_depth: int
     trace_bias: float
@@ -448,11 +449,13 @@ def compile_scene(
 
     integ = scene.integrator
     if isinstance(integ, D.PathMis):
+        integrator_kind = "path_mis"
         max_depth = min(512, integ.max_depth)
         trace_bias = integ.trace_bias
         regularization = integ.regularization
         accumulated_roughness = integ.accumulated_roughness
     else:
+        integrator_kind = integ.kind
         max_depth = integ.max_depth
         trace_bias = 1e-3
         regularization = False
@@ -507,6 +510,7 @@ def compile_scene(
         sampler_kind=scene.sampler.kind,
         sample_count=scene.sampler.sample_count,
         seed=scene.sampler.seed,
+        integrator_kind=integrator_kind,
         max_depth=max_depth,
         trace_bias=trace_bias,
         regularization=regularization,

@@ -28,15 +28,15 @@ def li_fn_for(static):
     return LI_FNS[static.integrator_kind]
 
 
-def sampler_spec(static, tables=None) -> SamplerSpec:
-    kw = {}
-    if tables is not None:
-        kw.update(tables)
+def sampler_spec(static) -> SamplerSpec:
+    if static.sampler_kind == "pmj02bn":
+        from ..samplers.tables import make_pmj02bn_spec
+
+        return make_pmj02bn_spec(static.sample_count, static.seed)
     return SamplerSpec(
         kind=static.sampler_kind,
         sample_count=static.sample_count,
         seed=static.seed,
-        **kw,
     )
 
 

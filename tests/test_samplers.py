@@ -174,3 +174,48 @@ def test_streams_uniform_mean():
         v = np.concatenate(vals, axis=0)
         assert abs(v.mean() - 0.5) < 0.01, kind
         assert (v >= 0).all() and (v < 1).all(), kind
+
+
+def test_pmj02bn_stream():
+    from kazen_tpu.samplers.tables import make_pmj02bn_spec
+
+    spec = make_pmj02bn_spec(16, seed=1)
+    n = spec.effective_sample_count
+    assert n == 16
+    px, py = np.meshgrid(
+        np.arange(16, dtype=np.uint32), np.arange(16, dtype=np.uint32)
+    )
+    px, py = px.ravel(), py.ravel()
+    # pixel jitter table: per-pixel samples must be stratified within pixel
+    vals = []
+    for idx in range(n):
+        st = streams.init_stream(spec, px, py, idx)
+        st, u = streams.next_pixel_2d(spec, st)
+        vals.append(np.asarray(u))
+    v = np.stack(vals, 1)  # (pix, n, 2)
+    assert (v >= 0).all() and (v < 1).all()
+    # stratification: per pixel, 16 samples hit all 16 cells of a 4x4 grid
+    cells = (v * 4).astype(int)
+    ids = cells[..., 0] * 4 + cells[..., 1]
+    for p in range(0, 256, 37):
+        assert len(set(ids[p].tolist())) == 16
+    # 1d and 2d draws in range, roughly uniform
+    st = streams.init_stream(spec, px, py, 3)
+    st, a = streams.next_1d(spec, st)
+    st, b = streams.next_2d(spec, st)
+    a, b = np.asarray(a), np.asarray(b)
+    assert (a >= 0).all() and (a < 1).all()
+    assert (b >= 0).all() and (b < 1).all()
+    assert abs(a.mean() - 0.5) < 0.05 and abs(b.mean() - 0.5) < 0.05
+
+
+def test_pmj02bn_render():
+    import scenes
+    from kazen_tpu.scene.compiler import compile_scene
+    from kazen_tpu.integrate.render import render
+
+    scene = scenes.cornell_box(width=12, height=12, spp=4, sampler="pmj02bn")
+    arrays, static = compile_scene(scene)
+    img = np.asarray(render(arrays, static, spp=4))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.05

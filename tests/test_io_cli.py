@@ -1,0 +1,112 @@
+"""XML import, image IO round-trips, checkpoint/resume, CLI."""
+import os
+import numpy as np
+
+import scenes
+from kazen_tpu.film import io as img_io
+from kazen_tpu.scene.compiler import compile_scene
+from kazen_tpu.integrate.render import render
+
+
+def test_exr_roundtrip(tmp_path):
+    img = np.random.default_rng(0).random((7, 13, 3)).astype(np.float32)
+    p = str(tmp_path / "t.exr")
+    img_io.save_exr(p, img)
+    back = img_io.load_exr(p)
+    np.testing.assert_array_equal(img, back)
+
+
+def test_png_write(tmp_path):
+    img = np.random.default_rng(0).random((8, 8, 3)).astype(np.float32)
+    p = str(tmp_path / "t.png")
+    img_io.save_png(p, img)
+    from PIL import Image
+
+    assert Image.open(p).size == (8, 8)
+
+
+def test_checkpoint_resume_identical(tmp_path):
+    from kazen_tpu.film.checkpoint import render_resumable
+
+    scene = scenes.cornell_box(width=12, height=12, spp=4)
+    arrays, static = compile_scene(scene)
+    direct = np.asarray(render(arrays, static, spp=4))
+    ck = str(tmp_path / "ck.npz")
+    # first run: only 2 of 4 samples (checkpoint_every=2 saves at s=2)
+    render_resumable(
+        arrays, static, spp=2, checkpoint_path=ck, checkpoint_every=2
+    )
+    # resume to full 4
+    resumed = np.asarray(
+        render_resumable(
+            arrays, static, spp=4, checkpoint_path=ck, checkpoint_every=2
+        )
+    )
+    np.testing.assert_allclose(direct, resumed, atol=1e-6)
+
+
+def test_xml_import(tmp_path):
+    # build a tiny OBJ + XML pair and render it
+    obj = tmp_path / "quad.obj"
+    obj.write_text(
+        "v -1 0 -1\nv 1 0 -1\nv 1 0 1\nv -1 0 1\n"
+        "vn 0 1 0\nvn 0 1 0\nvn 0 1 0\nvn 0 1 0\n"
+        "f 1//1 2//2 3//3 4//4\n"
+    )
+    light_obj = tmp_path / "light.obj"
+    light_obj.write_text(
+        "v -0.3 1.9 -0.3\nv 0.3 1.9 -0.3\nv 0.3 1.9 0.3\nv -0.3 1.9 0.3\n"
+        "f 1 2 3 4\n"
+    )
+    xml = tmp_path / "scene.xml"
+    xml.write_text(
+        """<?xml version="1.0"?>
+<scene>
+  <integrator type="path_mis"><integer name="maxDepth" value="3"/></integrator>
+  <sampler type="stratified"><integer name="sampleCount" value="4"/></sampler>
+  <camera type="perspective">
+    <integer name="width" value="12"/><integer name="height" value="12"/>
+    <float name="fov" value="60"/>
+    <transform name="toWorld">
+      <lookat origin="0, 1, -3" target="0, 0.5, 0" up="0, 1, 0"/>
+    </transform>
+    <rfilter type="gaussian"><float name="radius" value="2.0"/></rfilter>
+  </camera>
+  <mesh type="obj">
+    <string name="filename" value="quad.obj"/>
+    <bsdf type="kazenstandard">
+      <texture type="constanttexture" id="baseColor">
+        <color name="color" value="0.6 0.3 0.2"/>
+      </texture>
+    </bsdf>
+  </mesh>
+  <mesh type="obj">
+    <string name="filename" value="light.obj"/>
+    <light type="area">
+      <color name="color" value="1 1 1"/><float name="intensity" value="10"/>
+    </light>
+  </mesh>
+</scene>
+"""
+    )
+    from kazen_tpu.scene.xml_io import load_xml
+
+    scene = load_xml(str(xml))
+    assert scene.camera.width == 12
+    assert scene.sampler.kind == "stratified"
+    assert scene.rfilter.kind == "gaussian"
+    arrays, static = compile_scene(scene)
+    assert static.num_lights == 1
+    img = np.asarray(render(arrays, static))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.001
+
+
+def test_cli(tmp_path):
+    # reuse the xml scene from above via the CLI entry point
+    test_xml_import(tmp_path)
+    out = str(tmp_path / "out.png")
+    from kazen_tpu.cli.main import main
+
+    main([str(tmp_path / "scene.xml"), "-o", out, "--spp", "2"])
+    assert os.path.exists(out)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core import math as km
@@ -58,23 +59,60 @@ def moller_trumbore(o, d, p0, p1, p2):
 
 
 def intersect_brute(scene, rays: Rays) -> Hit:
-    """All-pairs nearest-hit intersection; O(N*F), oracle/testing path."""
-    p0 = scene.V[scene.F[:, 0]]  # (F, 3)
-    p1 = scene.V[scene.F[:, 1]]
-    p2 = scene.V[scene.F[:, 2]]
+    """All-faces nearest-hit intersection; O(N*F), oracle/testing path.
 
-    o = rays.o[:, None, :]  # (N, 1, 3)
-    d = rays.d[:, None, :]
-    t, u, v, ok = moller_trumbore(o, d, p0[None], p1[None], p2[None])  # (N, F)
-    ok = ok & (t >= rays.mint[:, None]) & (t <= rays.maxt[:, None])
-    t_masked = jnp.where(ok, t, _BIG)
-    best = jnp.argmin(t_masked, axis=1)  # (N,)
-    n_idx = jnp.arange(t.shape[0])
-    valid = ok[n_idx, best]
-    return Hit(
-        valid=valid,
-        t=t[n_idx, best],
-        face=best.astype(jnp.int32),
-        u=u[n_idx, best],
-        v=v[n_idx, best],
+    Implemented as a scan over faces keeping (N,)-shaped running best-hit
+    state: every intermediate stays a well-tiled (N,) / (N, 3) array. The
+    (N, F) broadcast form gets its minor dimension padded to 128 by TPU
+    tiling and is an order of magnitude slower.
+    """
+    p0 = scene.V[scene.F[:, 0]]  # (F, 3)
+    e1 = scene.V[scene.F[:, 1]] - p0
+    e2 = scene.V[scene.F[:, 2]] - p0
+    n = rays.o.shape[0]
+
+    def body(carry, tri):
+        best_t, face, bu, bv, found, fidx = carry
+        tp0, te1, te2 = tri
+        pvec = km.cross(rays.d, te2[None, :])
+        det = km.dot(e1_b(te1), pvec)
+        ok = jnp.abs(det) > _DET_EPS
+        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+        tvec = rays.o - tp0[None, :]
+        u = km.dot(tvec, pvec) * inv_det
+        qvec = km.cross(tvec, e1_b(te1))
+        v = km.dot(rays.d, qvec) * inv_det
+        t = km.dot(e2_b(te2), qvec) * inv_det
+        ok = (
+            ok
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t >= rays.mint)
+            & (t <= rays.maxt)
+            & (t < best_t)
+        )
+        best_t = jnp.where(ok, t, best_t)
+        face = jnp.where(ok, fidx, face)
+        bu = jnp.where(ok, u, bu)
+        bv = jnp.where(ok, v, bv)
+        found = found | ok
+        return (best_t, face, bu, bv, found, fidx + 1), None
+
+    def e1_b(x):
+        return x[None, :]
+
+    def e2_b(x):
+        return x[None, :]
+
+    init = (
+        jnp.full(n, _BIG),
+        jnp.zeros(n, jnp.int32),
+        jnp.zeros(n, jnp.float32),
+        jnp.zeros(n, jnp.float32),
+        jnp.zeros(n, bool),
+        jnp.int32(0),
     )
+    (t, face, u, v, found, _), _ = jax.lax.scan(body, init, (p0, e1, e2))
+    return Hit(valid=found, t=t, face=face, u=u, v=v)

@@ -108,6 +108,46 @@ def splat(static, film, pixel_sample, value):
     return film_flat.reshape(film.shape)
 
 
+def _shift2d(a, dy: int, dx: int):
+    """Static zero-fill shift: out[y+dy, x+dx] = a[y, x]."""
+    h, w = a.shape[:2]
+    out = jnp.zeros_like(a)
+    ys_dst = slice(max(0, dy), h + min(0, dy))
+    xs_dst = slice(max(0, dx), w + min(0, dx))
+    ys_src = slice(max(0, -dy), h + min(0, -dy))
+    xs_src = slice(max(0, -dx), w + min(0, -dx))
+    return out.at[ys_dst, xs_dst].set(a[ys_src, xs_src])
+
+
+def splat_grid(static, film, jitter, value):
+    """Scatter-free splat for the ordered full-pixel-grid lane layout (one
+    lane per pixel, row-major): every filter-footprint offset becomes a
+    static 2D shift + add, which XLA fuses into plain vector code -- TPU
+    scatter-add with duplicate indices is serialized and dominates the pass
+    otherwise.
+
+    jitter: (N, 2) sub-pixel positions in [0,1); value: (N, 3).
+    """
+    h, w = static.height, static.width
+    ok = jnp.all(jnp.isfinite(value) & (value >= 0.0), axis=-1)
+    value = jnp.where(ok[:, None], value, 0.0)
+    contrib = jnp.concatenate(
+        [value, jnp.ones_like(value[:, :1])], axis=-1
+    ).reshape(h, w, 4)
+    # px - x = jitter - 0.5 for every lane
+    jx = (jitter[:, 0] - 0.5).reshape(h, w)
+    jy = (jitter[:, 1] - 0.5).reshape(h, w)
+    r = filter_radius(static)
+    d_lo = int(np.ceil(-(r + 0.5)))
+    d_hi = int(np.floor(r + 0.5))
+    for dy in range(d_lo, d_hi + 1):
+        wy = filter_eval(static, dy - jy)
+        for dx in range(d_lo, d_hi + 1):
+            wx = filter_eval(static, dx - jx)
+            film = film + _shift2d(contrib * (wx * wy)[..., None], dy, dx)
+    return film
+
+
 def to_bitmap(film):
     """Divide accumulated RGB by filter weight (block.cpp:39-45)."""
     w = film[..., 3:4]

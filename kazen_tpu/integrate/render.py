@@ -40,9 +40,14 @@ def sampler_spec(static) -> SamplerSpec:
     )
 
 
-@partial(jax.jit, static_argnames=("static", "spec"))
-def _render_pass(scene, static, spec, film, px, py, sample_index, jump):
-    """One sample-per-pixel pass over a lane batch of pixels."""
+@partial(jax.jit, static_argnames=("static", "spec", "grid_splat"))
+def _render_pass(
+    scene, static, spec, film, px, py, sample_index, jump, grid_splat=True
+):
+    """One sample-per-pixel pass over a lane batch of pixels. With
+    ``grid_splat`` the lanes must be the full pixel grid in row-major order
+    (the normal layout) and the film splat uses static shifts instead of
+    scatter-add."""
     from ..samplers import streams
 
     stream = streams.init_stream_jump(spec, px, py, sample_index, jump)
@@ -54,6 +59,8 @@ def _render_pass(scene, static, spec, film, px, py, sample_index, jump):
     stream, aperture = streams.next_2d(spec, stream)
     rays = camera_mod.sample_ray(scene, static, pixel_sample, aperture)
     _, li, _ = li_fn_for(static)(scene, static, spec, stream, rays)
+    if grid_splat:
+        return film_mod.splat_grid(static, film, jitter, li)
     return film_mod.splat(static, film, pixel_sample, li)
 
 
@@ -98,6 +105,7 @@ def render(
         )
         for px, py in chunks:
             film = _render_pass(
-                scene, static, spec, film, px, py, jnp.uint32(s), jump
+                scene, static, spec, film, px, py, jnp.uint32(s), jump,
+                grid_splat=(len(chunks) == 1),
             )
     return film_mod.to_bitmap(film)

@@ -41,11 +41,14 @@ def sample_area_light(scene, light_idx, ref_p, u_tri, u1, u2):
     Draw order matches the reference: u_tri picks the triangle from the CDF,
     (u1, u2) warp onto it.
     """
-    cdf_rows = scene.light_cdf[light_idx]  # (N, maxF+1)
-    tri = jax.vmap(
-        lambda row, u: jnp.searchsorted(row, u, side="right") - 1
-    )(cdf_rows, u_tri)
-    tri = jnp.clip(tri, 0, scene.light_faces.shape[1] - 1)
+    # CDF search as a static loop of (N,) compares: per-lane rows are short
+    # (padded to the largest light's face count) and vmap'd searchsorted is
+    # gather-bound on TPU.
+    max_lf = scene.light_faces.shape[1]
+    tri = jnp.zeros(u_tri.shape, jnp.int32)
+    for k in range(1, max_lf):
+        tri = tri + (u_tri >= scene.light_cdf[light_idx, k]).astype(jnp.int32)
+    tri = jnp.clip(tri, 0, max_lf - 1)
     face = scene.light_faces[light_idx, tri]
 
     su0 = jnp.sqrt(u1)

@@ -1,0 +1,60 @@
+"""Inverse rendering: recover scene parameters from a target image."""
+import numpy as np
+import jax.numpy as jnp
+
+import scenes
+from kazen_tpu.scene import description as D
+from kazen_tpu.scene.compiler import compile_scene
+from kazen_tpu.integrate.render import render
+from kazen_tpu.diff.inverse import optimize, get_params, apply_params
+
+
+def test_recover_albedo():
+    """Recover the back wall's diffuse albedo from a rendered target."""
+    scene = scenes.cornell_box(width=16, height=16, spp=8, max_depth=3)
+    arrays, static = compile_scene(scene, use_bvh=False)
+    true_albedo = jnp.asarray([0.2, 0.6, 0.8])
+    # back wall is mesh 2 -> material 2
+    mats_true = arrays.materials._replace(
+        base_color=arrays.materials.base_color.at[2].set(true_albedo)
+    )
+    target = render(arrays._replace(materials=mats_true), static, spp=8)
+
+    # start from the wrong albedo and optimize
+    res = optimize(
+        arrays,
+        static,
+        target,
+        param_keys=("materials",),
+        steps=120,
+        learning_rate=0.05,
+        spp_per_step=2,
+    )
+    got = np.asarray(res.params["materials"]["base_color"][2])
+    # the loss floor is the MC noise between the per-step spp and the
+    # target's spp; parameter recovery is the real criterion
+    assert res.losses[-1] < res.losses[0] * 0.35, res.losses[[0, -1]]
+    np.testing.assert_allclose(got, np.asarray(true_albedo), atol=0.08)
+
+
+def test_recover_light_intensity():
+    scene = scenes.cornell_box(width=12, height=12, spp=4, max_depth=3)
+    arrays, static = compile_scene(scene, use_bvh=False)
+    target = render(
+        arrays._replace(light_radiance=arrays.light_radiance * 0.5),
+        static,
+        spp=4,
+    )
+    res = optimize(
+        arrays,
+        static,
+        target,
+        param_keys=("light_radiance",),
+        steps=80,
+        learning_rate=0.4,
+        spp_per_step=2,
+        clip_to_unit=False,
+    )
+    got = np.asarray(res.params["light_radiance"])
+    want = np.asarray(arrays.light_radiance) * 0.5
+    np.testing.assert_allclose(got, want, rtol=0.12)

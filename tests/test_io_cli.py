@@ -110,3 +110,29 @@ def test_cli(tmp_path):
 
     main([str(tmp_path / "scene.xml"), "-o", out, "--spp", "2"])
     assert os.path.exists(out)
+
+
+def test_splat_grid_matches_scatter():
+    import jax.numpy as jnp
+    from kazen_tpu.film import film as film_mod
+    from kazen_tpu.scene.compiler import compile_scene as _cs
+
+    for kind in ("box", "gaussian", "tent", "mitchell"):
+        scene = scenes.cornell_box(width=9, height=7, spp=1)
+        scene.rfilter.kind = kind
+        _, static = _cs(scene)
+        r = np.random.default_rng(4)
+        n = 63
+        jitter = jnp.asarray(r.random((n, 2), dtype=np.float32))
+        value = jnp.asarray(r.random((n, 3), dtype=np.float32))
+        ys, xs = np.meshgrid(np.arange(7), np.arange(9), indexing="ij")
+        ps = (
+            jnp.stack(
+                [jnp.asarray(xs.ravel()), jnp.asarray(ys.ravel())], -1
+            ).astype(jnp.float32)
+            + jitter
+        )
+        film0 = film_mod.make_film(static)
+        a = film_mod.splat(static, film0, ps, value)
+        b = film_mod.splat_grid(static, film0, jitter, value)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5), kind

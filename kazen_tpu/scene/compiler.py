@@ -63,12 +63,30 @@ class MaterialTable(NamedTuple):
     tex_normal: jnp.ndarray  # (M,) int32
 
 
+TEX_IMAGE = 0
+TEX_CONSTANT = 1
+TEX_COLORRAMP = 2
+TEX_BLEND_MIX = 3
+TEX_BLEND_MULTIPLY = 4
+
+
 class TexturePool(NamedTuple):
+    """Flat texture graph: image nodes index the texel pool; composite nodes
+    (colorramp texture.cpp:149-191, blend :195-270) reference child node ids.
+    Graph depth is limited to 2 composite levels at compile time."""
+
     texels: jnp.ndarray  # (P, 3) float32 flat pool
     offset: jnp.ndarray  # (T,) int32 start index into texels
     width: jnp.ndarray  # (T,) int32
     height: jnp.ndarray  # (T,) int32
     uv_scale: jnp.ndarray  # (T,) float32
+    ttype: jnp.ndarray  # (T,) int32 TEX_*
+    const_color: jnp.ndarray  # (T, 3)
+    input1: jnp.ndarray  # (T,) int32 nested/input1 node id, -1 absent
+    input2: jnp.ndarray  # (T,) int32
+    mask_id: jnp.ndarray  # (T,) int32
+    ramp_min: jnp.ndarray  # (T,)
+    ramp_max: jnp.ndarray  # (T,)
 
 
 class SceneArrays(NamedTuple):
@@ -116,6 +134,7 @@ class SceneStatic:
     num_materials: int
     num_lights: int
     btypes_present: Tuple[int, ...]  # material types in this scene (dispatch)
+    has_composite_textures: bool  # any colorramp/blend nodes in the graph
     has_background: bool
     sampler_kind: str
     sample_count: int
@@ -160,6 +179,56 @@ class _TexturePacker:
         self.heights = []
         self.scales = []
         self.total = 0
+        self.ttypes = []
+        self.const_colors = []
+        self.input1 = []
+        self.input2 = []
+        self.mask_id = []
+        self.ramp_min = []
+        self.ramp_max = []
+
+    def _new_node(self, ttype, const=(0.0, 0.0, 0.0)):
+        tid = len(self.ttypes)
+        self.ttypes.append(ttype)
+        self.const_colors.append(np.asarray(const, np.float32))
+        self.input1.append(-1)
+        self.input2.append(-1)
+        self.mask_id.append(-1)
+        self.ramp_min.append(0.0)
+        self.ramp_max.append(1.0)
+        self.offsets.append(0)
+        self.widths.append(1)
+        self.heights.append(1)
+        self.scales.append(1.0)
+        return tid
+
+    def add_node(self, tex, depth=0) -> int:
+        """Register any texture-graph node; returns its node id."""
+        tex = D.as_texture(tex)
+        if isinstance(tex, D.ImageTexture):
+            return self.add(tex)
+        if isinstance(tex, D.ConstantTexture):
+            return self._new_node(TEX_CONSTANT, tex.color)
+        if depth >= 2:
+            raise ValueError("texture graphs deeper than 2 composite levels")
+        if isinstance(tex, D.ColorRamp):
+            tid = self._new_node(TEX_COLORRAMP)
+            if tex.input is not None:
+                self.input1[tid] = self.add_node(tex.input, depth + 1)
+            self.ramp_min[tid] = float(tex.min)
+            self.ramp_max[tid] = float(tex.max)
+            return tid
+        if isinstance(tex, D.Blend):
+            ttype = TEX_BLEND_MIX if tex.mode == "mix" else TEX_BLEND_MULTIPLY
+            tid = self._new_node(ttype)
+            if tex.mask is not None:
+                self.mask_id[tid] = self.add_node(tex.mask, depth + 1)
+            if tex.input1 is not None:
+                self.input1[tid] = self.add_node(tex.input1, depth + 1)
+            if tex.input2 is not None:
+                self.input2[tid] = self.add_node(tex.input2, depth + 1)
+            return tid
+        raise TypeError(f"unknown texture node {type(tex).__name__}")
 
     def add(self, tex: D.ImageTexture) -> int:
         if tex.data is not None:
@@ -178,30 +247,36 @@ class _TexturePacker:
                 img <= 0.04045, img / 12.92, ((img + 0.055) / 1.055) ** 2.4
             ).astype(np.float32)
         h, w = img.shape[:2]
-        tid = len(self.offsets)
-        self.offsets.append(self.total)
-        self.widths.append(w)
-        self.heights.append(h)
-        self.scales.append(float(tex.scale))
+        tid = self._new_node(TEX_IMAGE)
+        self.offsets[tid] = self.total
+        self.widths[tid] = w
+        self.heights[tid] = h
+        self.scales[tid] = float(tex.scale)
         self.texels.append(img.reshape(-1, 3).astype(np.float32))
         self.total += h * w
         return tid
 
     def finish(self) -> TexturePool:
-        if not self.texels:
-            return TexturePool(
-                texels=jnp.zeros((1, 3), jnp.float32),
-                offset=jnp.zeros((1,), jnp.int32),
-                width=jnp.ones((1,), jnp.int32),
-                height=jnp.ones((1,), jnp.int32),
-                uv_scale=jnp.ones((1,), jnp.float32),
-            )
+        if not self.ttypes:
+            self._new_node(TEX_CONSTANT)
+        texels = (
+            np.concatenate(self.texels, axis=0)
+            if self.texels
+            else np.zeros((1, 3), np.float32)
+        )
         return TexturePool(
-            texels=jnp.asarray(np.concatenate(self.texels, axis=0)),
+            texels=jnp.asarray(texels),
             offset=jnp.asarray(np.asarray(self.offsets, np.int32)),
             width=jnp.asarray(np.asarray(self.widths, np.int32)),
             height=jnp.asarray(np.asarray(self.heights, np.int32)),
             uv_scale=jnp.asarray(np.asarray(self.scales, np.float32)),
+            ttype=jnp.asarray(np.asarray(self.ttypes, np.int32)),
+            const_color=jnp.asarray(np.stack(self.const_colors)),
+            input1=jnp.asarray(np.asarray(self.input1, np.int32)),
+            input2=jnp.asarray(np.asarray(self.input2, np.int32)),
+            mask_id=jnp.asarray(np.asarray(self.mask_id, np.int32)),
+            ramp_min=jnp.asarray(np.asarray(self.ramp_min, np.float32)),
+            ramp_max=jnp.asarray(np.asarray(self.ramp_max, np.float32)),
         )
 
 
@@ -234,16 +309,12 @@ class _MaterialBuilder:
         self.rows = []
         self.packer = packer
 
-    def _tex_or_const(self, tex: D.ConstantTexture | D.ImageTexture):
-        """Returns (constant_rgb, tex_id)."""
+    def _tex_or_const(self, tex):
+        """Returns (constant_rgb, tex_id); plain constants avoid a node."""
         tex = D.as_texture(tex)
         if isinstance(tex, D.ConstantTexture):
             return np.asarray(tex.color, np.float32), -1
-        if isinstance(tex, D.ImageTexture):
-            return np.ones(3, np.float32), self.packer.add(tex)
-        raise NotImplementedError(
-            f"texture graph node {type(tex).__name__} not yet supported here"
-        )
+        return np.ones(3, np.float32), self.packer.add_node(tex)
 
     def _blank(self):
         return dict(
@@ -425,7 +496,7 @@ def compile_scene(
             bg_tex = -1
         else:
             bg_color = np.ones(3, np.float32)
-            bg_tex = packer.add(tex)
+            bg_tex = packer.add_node(tex)
         bg_intensity = float(bg.intensity)
         has_bg = True
     else:
@@ -506,6 +577,7 @@ def compile_scene(
         num_materials=len(mats.rows),
         num_lights=L,
         btypes_present=tuple(sorted({int(r["btype"]) for r in mats.rows})),
+        has_composite_textures=any(t >= 2 for t in packer.ttypes),
         has_background=has_bg,
         sampler_kind=scene.sampler.kind,
         sample_count=scene.sampler.sample_count,

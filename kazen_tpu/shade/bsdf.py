@@ -68,9 +68,9 @@ def _mask3(m, x):
 # ---------------------------------------------------------------------------
 
 
-def _diffuse_albedo(scene, mp, uv, textured: bool):
+def _diffuse_albedo(static, scene, mp, uv, textured: bool):
     if textured:
-        return eval_texture(scene.textures, mp.tex_base, uv, mp.base_color)
+        return eval_texture(static, scene.textures, mp.tex_base, uv, mp.base_color)
     return mp.base_color
 
 
@@ -119,8 +119,8 @@ def _dielectric_sample(mp, wi, s1):
     return wo, w, eta, jnp.ones(cos_i.shape, bool)
 
 
-def _ggx_eval(scene, mp, uv, wi, wo):
-    albedo = eval_texture(scene.textures, mp.tex_base, uv, mp.base_color)
+def _ggx_eval(static, scene, mp, uv, wi, wo):
+    albedo = eval_texture(static, scene.textures, mp.tex_base, uv, mp.base_color)
     f, _ = ggx.eval_ggx_smith_brdf(wi, wo, albedo, mp.roughness, mp.anisotropy)
     m = (_cos(wi) > 0.0) & (_cos(wo) > 0.0)
     return _mask3(m, f * _cos(wo)[..., None])
@@ -135,11 +135,11 @@ def _ggx_pdf(mp, wi, wo):
     return jnp.where(m, pdf, 0.0)
 
 
-def _ggx_sample(scene, mp, uv, wi, s2):
+def _ggx_sample(static, scene, mp, uv, wi, s2):
     alpha = ggx.roughness_to_alpha(mp.roughness, mp.anisotropy)
     h = ggx.sample_vndf(wi, alpha, s2)
     wo = km.reflect(wi, h)
-    val = _ggx_eval(scene, mp, uv, wi, wo)
+    val = _ggx_eval(static, scene, mp, uv, wi, wo)
     pdf = _ggx_pdf(mp, wi, wo)
     w = val / jnp.maximum(pdf, 1e-9)[..., None]
     m = (_cos(wi) > 0.0) & (_cos(wo) > 0.0) & (pdf > 0.0)
@@ -323,15 +323,17 @@ def _roughdielectric_sample(mp, wi, s1, s2):
 # ---------------------------------------------------------------------------
 
 
-def _kiss_textures(scene, mp, uv):
-    base = eval_texture(scene.textures, mp.tex_base, uv, mp.base_color)
+def _kiss_textures(static, scene, mp, uv):
+    base = eval_texture(static, scene.textures, mp.tex_base, uv, mp.base_color)
     metallic = eval_texture(
+        static,
         scene.textures,
         mp.tex_metallic,
         uv,
         jnp.stack([mp.metallic] * 3, -1),
     )[..., 0]
     roughness = eval_texture(
+        static,
         scene.textures,
         mp.tex_roughness,
         uv,
@@ -345,10 +347,10 @@ def _schlick_weight(x):
     return km.sqr(km.sqr(x)) * x
 
 
-def _kiss_eval(scene, mp, uv, wi, wo, accum_rough):
+def _kiss_eval(static, scene, mp, uv, wi, wo, accum_rough):
     v, l = wi, wo
     h = km.normalize(v + l)
-    cdlin, metallic, rough_tex = _kiss_textures(scene, mp, uv)
+    cdlin, metallic, rough_tex = _kiss_textures(static, scene, mp, uv)
     roughness = jnp.minimum(1.0, rough_tex + accum_rough)
     cdlum = km.luminance(cdlin)
     ctint = jnp.where(
@@ -388,8 +390,8 @@ def _kiss_eval(scene, mp, uv, wi, wo, accum_rough):
     return _mask3(m, val)
 
 
-def _kiss_pdf(scene, mp, uv, wi, wo, accum_rough):
-    _, metallic, rough_tex = _kiss_textures(scene, mp, uv)
+def _kiss_pdf(static, scene, mp, uv, wi, wo, accum_rough):
+    _, metallic, rough_tex = _kiss_textures(static, scene, mp, uv)
     diffuse = (1.0 - metallic) * 0.5
     gtr2 = 1.0 / (1.0 + mp.clearcoat)
     h = km.normalize(wi + wo)
@@ -409,8 +411,8 @@ def _kiss_pdf(scene, mp, uv, wi, wo, accum_rough):
     return jnp.where(m, pdf, 0.0)
 
 
-def _kiss_sample(scene, mp, uv, wi, s1, s2, accum_rough):
-    _, metallic, rough_tex = _kiss_textures(scene, mp, uv)
+def _kiss_sample(static, scene, mp, uv, wi, s1, s2, accum_rough):
+    _, metallic, rough_tex = _kiss_textures(static, scene, mp, uv)
     diffuse = (1.0 - metallic) * 0.5
     gtr2 = 1.0 / (1.0 + mp.clearcoat)
 
@@ -432,8 +434,8 @@ def _kiss_sample(scene, mp, uv, wi, s1, s2, accum_rough):
     wo_spec = km.normalize(km.reflect(wi, h))
 
     wo = jnp.where((s1 < diffuse)[..., None], wo_diff, wo_spec)
-    val = _kiss_eval(scene, mp, uv, wi, wo, accum_rough)
-    pdf = _kiss_pdf(scene, mp, uv, wi, wo, accum_rough)
+    val = _kiss_eval(static, scene, mp, uv, wi, wo, accum_rough)
+    pdf = _kiss_pdf(static, scene, mp, uv, wi, wo, accum_rough)
     w = val / jnp.maximum(pdf, 1e-9)[..., None]
     ok = (
         (_cos(wi) > 0.0)
@@ -459,12 +461,12 @@ def eval_base(static, scene, mp, uv, wi, wo, accum_rough):
     for t in _base_types(static):
         m = mp.btype == t
         if t in (BSDF_DIFFUSE, BSDF_LAMBERTIAN):
-            albedo = _diffuse_albedo(scene, mp, uv, t == BSDF_LAMBERTIAN)
+            albedo = _diffuse_albedo(static, scene, mp, uv, t == BSDF_LAMBERTIAN)
             v = _diffuse_eval(albedo, wi, wo)
         elif t in (BSDF_MIRROR, BSDF_DIELECTRIC):
             v = jnp.zeros_like(wi)
         elif t == BSDF_GGX:
-            v = _ggx_eval(scene, mp, uv, wi, wo)
+            v = _ggx_eval(static, scene, mp, uv, wi, wo)
         elif t == BSDF_ROUGHCONDUCTOR:
             v = _roughconductor_eval(mp, wi, wo)
         elif t == BSDF_ROUGHPLASTIC:
@@ -472,7 +474,7 @@ def eval_base(static, scene, mp, uv, wi, wo, accum_rough):
         elif t == BSDF_ROUGHDIELECTRIC:
             v = _roughdielectric_eval(mp, wi, wo)
         elif t == BSDF_KISS:
-            v = _kiss_eval(scene, mp, uv, wi, wo, accum_rough)
+            v = _kiss_eval(static, scene, mp, uv, wi, wo, accum_rough)
         else:
             raise ValueError(f"unhandled btype {t}")
         out = jnp.where(m[..., None], v, out)
@@ -496,7 +498,7 @@ def pdf_base(static, scene, mp, uv, wi, wo, accum_rough):
         elif t == BSDF_ROUGHDIELECTRIC:
             v = _roughdielectric_pdf(mp, wi, wo)
         elif t == BSDF_KISS:
-            v = _kiss_pdf(scene, mp, uv, wi, wo, accum_rough)
+            v = _kiss_pdf(static, scene, mp, uv, wi, wo, accum_rough)
         else:
             raise ValueError(f"unhandled btype {t}")
         out = jnp.where(m, v, out)
@@ -514,14 +516,14 @@ def sample_base(static, scene, mp, uv, wi, s1, s2, accum_rough) -> SampleResult:
     for t in _base_types(static):
         m = mp.btype == t
         if t in (BSDF_DIFFUSE, BSDF_LAMBERTIAN):
-            albedo = _diffuse_albedo(scene, mp, uv, t == BSDF_LAMBERTIAN)
+            albedo = _diffuse_albedo(static, scene, mp, uv, t == BSDF_LAMBERTIAN)
             wo, w, eta, disc = _diffuse_sample(albedo, wi, s2)
         elif t == BSDF_MIRROR:
             wo, w, eta, disc = _mirror_sample(wi, s2)
         elif t == BSDF_DIELECTRIC:
             wo, w, eta, disc = _dielectric_sample(mp, wi, s1)
         elif t == BSDF_GGX:
-            wo, w, eta, disc = _ggx_sample(scene, mp, uv, wi, s2)
+            wo, w, eta, disc = _ggx_sample(static, scene, mp, uv, wi, s2)
         elif t == BSDF_ROUGHCONDUCTOR:
             wo, w, eta, disc = _roughconductor_sample(mp, wi, s2)
         elif t == BSDF_ROUGHPLASTIC:
@@ -529,7 +531,7 @@ def sample_base(static, scene, mp, uv, wi, s1, s2, accum_rough) -> SampleResult:
         elif t == BSDF_ROUGHDIELECTRIC:
             wo, w, eta, disc = _roughdielectric_sample(mp, wi, s1, s2)
         elif t == BSDF_KISS:
-            wo, w, eta, disc = _kiss_sample(scene, mp, uv, wi, s1, s2, accum_rough)
+            wo, w, eta, disc = _kiss_sample(static, scene, mp, uv, wi, s1, s2, accum_rough)
         else:
             raise ValueError(f"unhandled btype {t}")
         out = SampleResult(
@@ -562,6 +564,7 @@ def _resolve_normalmap(static, scene, materials, mat_id, uv, sh_frame, dpdu, wi)
     eff_id = jnp.where(is_nm, mp.nested, mat_id)
     mp_eff = gather(materials, eff_id)
     rgb = eval_texture(
+        static,
         scene.textures,
         mp.tex_normal,
         uv,
@@ -651,6 +654,7 @@ def regularize(static, scene, mp, uv):
     if BSDF_KISS not in static.btypes_present:
         return jnp.zeros(uv.shape[:-1])
     rough = eval_texture(
-        scene.textures, mp.tex_roughness, uv, jnp.stack([mp.roughness] * 3, -1)
+        static, scene.textures, mp.tex_roughness, uv,
+        jnp.stack([mp.roughness] * 3, -1),
     )[..., 0]
     return jnp.where(mp.btype == BSDF_KISS, rough, 0.0)

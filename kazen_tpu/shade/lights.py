@@ -107,7 +107,7 @@ def background_radiance(scene, static, d):
 
     tid = jnp.broadcast_to(scene.bg_tex, d.shape[:-1])
     col = eval_texture_dir(
-        scene.textures, tid, d, jnp.broadcast_to(scene.bg_color, d.shape)
+        static, scene.textures, tid, d, jnp.broadcast_to(scene.bg_color, d.shape)
     )
     col = scene.bg_intensity * col
     finite = jnp.all(jnp.isfinite(d), axis=-1)

@@ -43,20 +43,78 @@ def _bilinear(pool, tid, x, y):
     )
 
 
-def eval_texture(pool, tex_id, uv, const_color):
-    """Texture<Color3f>::eval(uv): image lookup where tex_id >= 0, else the
-    per-lane constant color."""
-    tid = jnp.maximum(tex_id, 0)
+def _eval_leaf(pool, tid, uv):
+    """Level-0 node eval: image bilinear or constant; composite -> 0."""
+    from ..scene.compiler import TEX_CONSTANT, TEX_IMAGE
+
     scale = pool.uv_scale[tid]
     u = uv[..., 0] * scale
     v = (1.0 - uv[..., 1]) * scale
     w = pool.width[tid].astype(jnp.float32)
     h = pool.height[tid].astype(jnp.float32)
-    val = _bilinear(pool, tid, u * w, v * h)
+    img = _bilinear(pool, tid, u * w, v * h)
+    tt = pool.ttype[tid]
+    val = jnp.where((tt == TEX_IMAGE)[..., None], img, 0.0)
+    return jnp.where(
+        (tt == TEX_CONSTANT)[..., None], pool.const_color[tid], val
+    )
+
+
+def _combine(pool, tid, uv, child_eval):
+    """One composite level: colorramp/blend over child_eval(node_id)."""
+    from ..scene.compiler import (
+        TEX_BLEND_MIX,
+        TEX_BLEND_MULTIPLY,
+        TEX_COLORRAMP,
+    )
+
+    tt = pool.ttype[tid]
+    base = child_eval(tid)
+
+    in1_id = pool.input1[tid]
+    in2_id = pool.input2[tid]
+    mask_id = pool.mask_id[tid]
+    in1 = child_eval(jnp.maximum(in1_id, 0))
+    in2 = child_eval(jnp.maximum(in2_id, 0))
+    mask = child_eval(jnp.maximum(mask_id, 0))
+
+    # colorramp (texture.cpp:160-170): per-channel min+(max-min)*clamp(c);
+    # missing nested -> 0
+    ramped = pool.ramp_min[tid][..., None] + (
+        pool.ramp_max[tid] - pool.ramp_min[tid]
+    )[..., None] * jnp.clip(in1, 0.0, 1.0)
+    ramped = jnp.where((in1_id >= 0)[..., None], ramped, 0.0)
+
+    # blend defaults (texture.cpp:208-216): mask=0.5, in1=0, in2=1
+    b_in1 = jnp.where((in1_id >= 0)[..., None], in1, 0.0)
+    b_in2 = jnp.where((in2_id >= 0)[..., None], in2, 1.0)
+    b_mask = jnp.where((mask_id >= 0)[..., None], mask, 0.5)[..., 0:1]
+    mixed = (1.0 - b_mask) * b_in1 + b_mask * b_in2
+    multiplied = b_in1 * b_in2
+
+    out = base
+    out = jnp.where((tt == TEX_COLORRAMP)[..., None], ramped, out)
+    out = jnp.where((tt == TEX_BLEND_MIX)[..., None], mixed, out)
+    out = jnp.where((tt == TEX_BLEND_MULTIPLY)[..., None], multiplied, out)
+    return out
+
+
+def eval_texture(static, pool, tex_id, uv, const_color):
+    """Texture<Color3f>::eval(uv) over the texture graph: image lookup or
+    up-to-two composite levels where tex_id >= 0, else the per-lane
+    constant color."""
+    tid = jnp.maximum(tex_id, 0)
+    if not static.has_composite_textures:
+        val = _eval_leaf(pool, tid, uv)
+    else:
+        level1 = lambda nid: _combine(
+            pool, nid, uv, lambda cid: _eval_leaf(pool, cid, uv)
+        )
+        val = _combine(pool, tid, uv, level1)
     return jnp.where((tex_id >= 0)[..., None], val, const_color)
 
 
-def eval_texture_dir(pool, tex_id, d, const_color):
+def eval_texture_dir(static, pool, tex_id, d, const_color):
     """Directional (environment) lookup: Blinn/Newell lat-long mapping, the
     convention intended by the reference (scene.cpp:58-63 commented block /
     OIIO environment): u = (atan2(x, z) + pi) / 2pi, v = (asin(y) + pi/2)/pi.
@@ -64,4 +122,4 @@ def eval_texture_dir(pool, tex_id, d, const_color):
     u = (jnp.arctan2(d[..., 0], d[..., 2]) + jnp.pi) * km.INV_TWOPI
     v = (jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0)) + 0.5 * jnp.pi) * km.INV_PI
     uv = jnp.stack([u, v], -1)
-    return eval_texture(pool, tex_id, uv, const_color)
+    return eval_texture(static, pool, tex_id, uv, const_color)

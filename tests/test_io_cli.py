@@ -136,3 +136,46 @@ def test_splat_grid_matches_scatter():
         a = film_mod.splat(static, film0, ps, value)
         b = film_mod.splat_grid(static, film0, jitter, value)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5), kind
+
+
+def test_texture_graph_nodes():
+    import jax.numpy as jnp
+    from kazen_tpu.scene import description as D
+    from kazen_tpu.scene.compiler import compile_scene as _cs
+    from kazen_tpu.shade.textures import eval_texture
+
+    checker = np.zeros((4, 4, 3), np.float32)
+    checker[::2, ::2] = 1.0
+    checker[1::2, 1::2] = 1.0
+    img = D.ImageTexture(data=checker, colorspace="linear")
+    blend = D.Blend(
+        mask=D.ConstantTexture((0.25, 0, 0)),
+        input1=D.ConstantTexture((1.0, 0.0, 0.0)),
+        input2=D.ConstantTexture((0.0, 1.0, 0.0)),
+        mode="mix",
+    )
+    ramp = D.ColorRamp(input=img, min=0.2, max=0.8)
+    scene = scenes.cornell_box(width=8, height=8, spp=1)
+    scene.meshes[0].bsdf = D.Lambertian(albedo=blend)
+    scene.meshes[1].bsdf = D.Lambertian(albedo=ramp)
+    arrays, static = _cs(scene, use_bvh=False)
+
+    mats = arrays.materials
+    uv = jnp.asarray(np.random.default_rng(0).random((64, 2), np.float32))
+    # blend mix: (1-0.25)*[1,0,0] + 0.25*[0,1,0] = [0.75, 0.25, 0]
+    bid = jnp.full(64, int(mats.tex_base[0]), jnp.int32)
+    got = np.asarray(
+        eval_texture(static, arrays.textures, bid, uv, jnp.zeros((64, 3)))
+    )
+    np.testing.assert_allclose(got, [[0.75, 0.25, 0.0]] * 64, atol=1e-6)
+    # colorramp over checker: values in {0.2, 0.8}
+    rid = jnp.full(64, int(mats.tex_base[1]), jnp.int32)
+    got = np.asarray(
+        eval_texture(static, arrays.textures, rid, uv, jnp.zeros((64, 3)))
+    )
+    assert ((got >= 0.2 - 1e-5) & (got <= 0.8 + 1e-5)).all()
+    # renders fine
+    from kazen_tpu.integrate.render import render
+
+    img_out = np.asarray(render(arrays, static, spp=1))
+    assert np.isfinite(img_out).all()

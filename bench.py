@@ -23,6 +23,14 @@ def main():
 
     if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    # persistent compilation cache: the 1080p program takes minutes to
+    # compile via the remote TPU compiler; cache across bench runs
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")

@@ -104,7 +104,7 @@ def optimize(
                     (jumps[i, 0], jumps[i, 1]),
                     (jumps[i, 2], jumps[i, 3]),
                 )
-                film = _render_pass.__wrapped__(
+                film, _ = _render_pass.__wrapped__(
                     sc, static, spec, film, px, py, sample_indices[i], jump
                 )
             img = film_mod.to_bitmap(film)

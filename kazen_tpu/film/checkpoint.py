@@ -73,7 +73,9 @@ def render_resumable(
             (jnp.uint32(a >> 32), jnp.uint32(a & 0xFFFFFFFF)),
             (jnp.uint32(c >> 32), jnp.uint32(c & 0xFFFFFFFF)),
         )
-        film = _render_pass(scene, static, spec, film, px, py, jnp.uint32(s), jump)
+        film, _ = _render_pass(
+            scene, static, spec, film, px, py, jnp.uint32(s), jump
+        )
         done = s + 1
         if checkpoint_path and (
             done % checkpoint_every == 0 or done == n_samples

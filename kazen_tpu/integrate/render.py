@@ -58,10 +58,10 @@ def _render_pass(
     )
     stream, aperture = streams.next_2d(spec, stream)
     rays = camera_mod.sample_ray(scene, static, pixel_sample, aperture)
-    _, li, _ = li_fn_for(static)(scene, static, spec, stream, rays)
+    _, li, nrays = li_fn_for(static)(scene, static, spec, stream, rays)
     if grid_splat:
-        return film_mod.splat_grid(static, film, jitter, li)
-    return film_mod.splat(static, film, pixel_sample, li)
+        return film_mod.splat_grid(static, film, jitter, li), nrays
+    return film_mod.splat(static, film, pixel_sample, li), nrays
 
 
 def render(
@@ -70,8 +70,13 @@ def render(
     spec: Optional[SamplerSpec] = None,
     spp: Optional[int] = None,
     lane_chunk: Optional[int] = None,
+    verbose: bool = False,
+    metrics=None,
 ):
-    """Render the full frame; returns the (H, W, 3) linear image."""
+    """Render the full frame; returns the (H, W, 3) linear image.
+
+    With ``verbose`` prints an ETA progress line; pass a
+    utils.metrics.RenderMetrics to collect per-pass rays/s."""
     if spec is None:
         spec = sampler_spec(static)
     n_samples = spp if spp is not None else spec.effective_sample_count
@@ -96,16 +101,41 @@ def render(
             for i in range(0, n + pad, lane_chunk)
         ]
 
+    progress = None
+    if verbose:
+        from ..utils.metrics import Progress
+
+        progress = Progress(n_samples)
     film = film_mod.make_film(static)
+    import time as _time
+
     for s in range(n_samples):
+        t0 = _time.time()
         a, c = rng.advance_constants(s * 65536)
         jump = (
             (jnp.uint32(a >> 32), jnp.uint32(a & 0xFFFFFFFF)),
             (jnp.uint32(c >> 32), jnp.uint32(c & 0xFFFFFFFF)),
         )
+        nrays_total = 0.0
         for px, py in chunks:
-            film = _render_pass(
+            film, nrays = _render_pass(
                 scene, static, spec, film, px, py, jnp.uint32(s), jump,
                 grid_splat=(len(chunks) == 1),
             )
+            if metrics is not None:
+                nrays_total += float(nrays)
+        if metrics is not None:
+            from ..utils.metrics import PassMetrics
+
+            jax.block_until_ready(film)
+            metrics.add(
+                PassMetrics(
+                    sample_index=s,
+                    seconds=_time.time() - t0,
+                    rays=nrays_total,
+                    lanes=int(px_all.shape[0]),
+                )
+            )
+        if progress is not None:
+            progress.update(s + 1)
     return film_mod.to_bitmap(film)

@@ -48,13 +48,46 @@ class BVHArrays(NamedTuple):
     tri_e2: jnp.ndarray  # (F, 3)
 
 
-def build_bvh(V: np.ndarray, F: np.ndarray, leaf_size: int = LEAF_SIZE):
-    """Binned-SAH build; returns BVHArrays (device) from numpy geometry."""
+def build_bvh(
+    V: np.ndarray,
+    F: np.ndarray,
+    leaf_size: int = LEAF_SIZE,
+    backend: str = "auto",
+):
+    """Binned-SAH build; returns BVHArrays (device) from numpy geometry.
+
+    backend: 'auto' uses the native C++ builder (accel/native) when
+    available, falling back to the numpy recursion; 'numpy'/'native' force.
+    """
     V = np.asarray(V, np.float32)
     F = np.asarray(F, np.int32)
     nf = len(F)
     if nf == 0:
         raise ValueError("empty scene")
+
+    if backend in ("auto", "native"):
+        from . import native
+
+        res = native.build(V, F, leaf_size)
+        if res is not None:
+            bounds_min_n, bounds_max_n, skip_n, poff_n, pcnt_n, pfaces_n = res
+            p0_all = V[F[:, 0]]
+            p1_all = V[F[:, 1]]
+            p2_all = V[F[:, 2]]
+            tp0 = p0_all[pfaces_n]
+            return BVHArrays(
+                bounds_min=jnp.asarray(bounds_min_n),
+                bounds_max=jnp.asarray(bounds_max_n),
+                skip=jnp.asarray(skip_n),
+                prim_offset=jnp.asarray(poff_n),
+                prim_count=jnp.asarray(pcnt_n),
+                prim_faces=jnp.asarray(pfaces_n),
+                tri_p0=jnp.asarray(tp0),
+                tri_e1=jnp.asarray(p1_all[pfaces_n] - tp0),
+                tri_e2=jnp.asarray(p2_all[pfaces_n] - tp0),
+            )
+        if backend == "native":
+            raise RuntimeError("native BVH builder unavailable")
 
     p0 = V[F[:, 0]]
     p1 = V[F[:, 1]]

@@ -104,3 +104,42 @@ def test_pallas_packet_traversal_matches_brute():
     np.testing.assert_allclose(
         np.asarray(got.t)[m], np.asarray(want.t)[m], rtol=1e-5
     )
+
+
+def test_native_builder_matches_semantics():
+    """C++ builder produces a valid escape-link BVH whose traversal matches
+    brute force (structure may differ from the numpy builder; results must
+    not)."""
+    from kazen_tpu.accel import native
+
+    assert native.available(), "g++ toolchain expected in this image"
+    V, F = random_soup(400, 11)
+    b = bvh_mod.build_bvh(V, F, backend="native")
+    skip = np.asarray(b.skip)
+    assert (skip > np.arange(len(skip))).all() and (skip <= len(skip)).all()
+    assert sorted(np.asarray(b.prim_faces).tolist()) == list(range(400))
+    scene = _FakeScene(V, F, b)
+    rays = random_rays(1024, 13)
+    got = bvh_mod.intersect_bvh(scene, rays)
+    want = intersect_brute(scene, rays)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+    m = np.asarray(want.valid)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[m], np.asarray(want.t)[m], rtol=1e-5
+    )
+
+
+def test_native_builder_speed_on_large_mesh():
+    """Native build must handle 100k tris quickly (the numpy recursion is
+    the fallback, not the default, for large scenes)."""
+    import time
+    from kazen_tpu.accel import native
+
+    if not native.available():
+        return
+    V, F = random_soup(100_000, 17, spread=10.0)
+    t0 = time.time()
+    b = bvh_mod.build_bvh(V, F, backend="native")
+    dt = time.time() - t0
+    assert dt < 10.0, f"native build took {dt:.1f}s"
+    assert len(np.asarray(b.prim_faces)) == 100_000

@@ -132,7 +132,11 @@ def _light_pdf_at_hit(scene, its: Interaction, ray_o):
     return lights_mod.pdf_area_light(scene, lidx, its.sh_frame.n, wi, dist)
 
 
-def _bounce(scene, static, spec, st: _State, draw_rr: bool) -> _State:
+def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
+    """One wavefront bounce; ``draw_rr`` is a traced bool scalar -- when
+    false the RR draw is *not consumed* (per-lane stream state is selected
+    back), matching the reference's depth>=3 conditional draw exactly while
+    keeping the bounce body a single scan iteration."""
     stream = st.stream
     its = st.its
     alive = st.alive
@@ -155,15 +159,18 @@ def _bounce(scene, static, spec, st: _State, draw_rr: bool) -> _State:
     alive = alive & ~hit_light
 
     # (2) Russian roulette (integrator.cpp:237-244); `<=` keeps 0-throughput
-    # lanes from dividing 0/0.
-    if draw_rr:
-        stream, u_rr = streams.next_1d(spec, stream)
-        prob = jnp.minimum(jnp.max(throughput, axis=-1) * eta * eta, 0.95)
-        dead = prob <= u_rr
-        alive = alive & ~dead
-        throughput = jnp.where(
-            alive[:, None], throughput / jnp.maximum(prob, 1e-9)[:, None], throughput
-        )
+    # lanes from dividing 0/0. The draw is consumed only when draw_rr.
+    stream_rr, u_rr = streams.next_1d(spec, stream)
+    stream = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(draw_rr, a, b), stream_rr, stream
+    )
+    prob = jnp.minimum(jnp.max(throughput, axis=-1) * eta * eta, 0.95)
+    dead = draw_rr & (prob <= u_rr)
+    alive = alive & ~dead
+    rr_scale = jnp.where(
+        draw_rr & alive, 1.0 / jnp.maximum(prob, 1e-9), 1.0
+    )
+    throughput = throughput * rr_scale[:, None]
 
     # (3) NEE (integrator.cpp:247-294)
     if static.num_lights > 0:
@@ -316,15 +323,10 @@ def li_wavefront(scene, static, spec, stream, rays: Rays):
         rays=jnp.sum(jnp.ones(n, jnp.float32)),
     )
 
-    n_unrolled = min(static.max_depth, 3)
-    for depth in range(n_unrolled):
-        st = _bounce(scene, static, spec, st, draw_rr=False)
+    draw_rr_flags = jnp.arange(static.max_depth) >= 3
 
-    n_scan = static.max_depth - n_unrolled
-    if n_scan > 0:
-        def body(carry, _):
-            return _bounce(scene, static, spec, carry, draw_rr=True), None
+    def body(carry, flag):
+        return _bounce(scene, static, spec, carry, draw_rr=flag), None
 
-        st, _ = jax.lax.scan(body, st, None, length=n_scan)
-
+    st, _ = jax.lax.scan(body, st, draw_rr_flags)
     return st.stream, st.li, st.rays

@@ -190,11 +190,18 @@ def _slab_test(o, inv_d, mint, maxt, bmin, bmax):
 
 
 def intersect_bvh(scene, rays: Rays) -> Hit:
-    """Vectorized stackless traversal; same Hit record as intersect_brute."""
+    """Vectorized stackless traversal; same Hit record as intersect_brute.
+
+    The while_loop walk is not reverse-differentiable, and the face choice
+    is discrete anyway: the walk runs on gradient-stopped rays, then
+    (t, u, v) are recomputed in closed form against the chosen face so
+    gradients flow exactly as in the brute-force oracle.
+    """
     bvh: BVHArrays = scene.bvh
     n = rays.o.shape[0]
     n_nodes = bvh.bounds_min.shape[0]
-    inv_d = 1.0 / jnp.where(jnp.abs(rays.d) < 1e-20, 1e-20, rays.d)
+    rays_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, rays)
+    inv_d = 1.0 / jnp.where(jnp.abs(rays_ng.d) < 1e-9, 1e-9, rays_ng.d)
 
     def cond(state):
         cursor = state[0]
@@ -206,8 +213,10 @@ def intersect_bvh(scene, rays: Rays) -> Hit:
         bmin = bvh.bounds_min[cur]
         bmax = bvh.bounds_max[cur]
         active = cursor < n_nodes
-        maxt = jnp.minimum(rays.maxt, best_t)
-        hit_box = active & _slab_test(rays.o, inv_d, rays.mint, maxt, bmin, bmax)
+        maxt = jnp.minimum(rays_ng.maxt, best_t)
+        hit_box = active & _slab_test(
+            rays_ng.o, inv_d, rays_ng.mint, maxt, bmin, bmax
+        )
 
         pcnt = bvh.prim_count[cur]
         poff = bvh.prim_offset[cur]
@@ -218,13 +227,13 @@ def intersect_bvh(scene, rays: Rays) -> Hit:
             tp0 = bvh.tri_p0[pidx]
             te1 = bvh.tri_e1[pidx]
             te2 = bvh.tri_e2[pidx]
-            t, u, v, ok = _mt_pre(rays.o, rays.d, tp0, te1, te2)
+            t, u, v, ok = _mt_pre(rays_ng.o, rays_ng.d, tp0, te1, te2)
             ok = (
                 ok
                 & do_leaf
                 & (k < pcnt)
-                & (t >= rays.mint)
-                & (t <= jnp.minimum(rays.maxt, best_t))
+                & (t >= rays_ng.mint)
+                & (t <= jnp.minimum(rays_ng.maxt, best_t))
             )
             best_face = jnp.where(ok, bvh.prim_faces[pidx], best_face)
             best_u = jnp.where(ok, u, best_u)
@@ -245,7 +254,12 @@ def intersect_bvh(scene, rays: Rays) -> Hit:
         jnp.zeros(n, jnp.float32),
         jnp.zeros(n, bool),
     )
-    _, t, face, u, v, found = jax.lax.while_loop(cond, body, init)
+    _, _, face, _, _, found = jax.lax.while_loop(cond, body, init)
+    idx = scene.F[jnp.clip(face, 0, scene.F.shape[0] - 1)]
+    p0 = scene.V[idx[:, 0]]
+    t, u, v, _ = _mt_pre(
+        rays.o, rays.d, p0, scene.V[idx[:, 1]] - p0, scene.V[idx[:, 2]] - p0
+    )
     return Hit(valid=found, t=t, face=face, u=u, v=v)
 
 

@@ -95,6 +95,9 @@ class SceneArrays(NamedTuple):
     F: jnp.ndarray  # (Nf, 3) int32
     N: jnp.ndarray  # (Nv, 3) (zeros where absent)
     UV: jnp.ndarray  # (Nv, 2)
+    # packed per-face shading row [p0 p1 p2 n0 n1 n2 uv0 uv1 uv2] -- one
+    # contiguous gather per hit instead of 9 two-level vertex gathers
+    face_shade: jnp.ndarray  # (Nf, 24) f32
     face_mesh: jnp.ndarray  # (Nf,) int32
     mesh_material: jnp.ndarray  # (Nm,) int32
     mesh_light: jnp.ndarray  # (Nm,) int32, -1 = not a light
@@ -135,6 +138,7 @@ class SceneStatic:
     num_lights: int
     btypes_present: Tuple[int, ...]  # material types in this scene (dispatch)
     has_composite_textures: bool  # any colorramp/blend nodes in the graph
+    has_image_textures: bool  # any image nodes (else texel gathers elide)
     has_background: bool
     sampler_kind: str
     sample_count: int
@@ -540,11 +544,21 @@ def compile_scene(
 
         bvh = build_bvh(V, F)
 
+    face_shade = np.concatenate(
+        [
+            V[F[:, 0]], V[F[:, 1]], V[F[:, 2]],
+            N[F[:, 0]], N[F[:, 1]], N[F[:, 2]],
+            UV[F[:, 0]], UV[F[:, 1]], UV[F[:, 2]],
+        ],
+        axis=1,
+    ).astype(np.float32) if len(F) else np.zeros((0, 24), np.float32)
+
     arrays = SceneArrays(
         V=jnp.asarray(V),
         F=jnp.asarray(F),
         N=jnp.asarray(N),
         UV=jnp.asarray(UV),
+        face_shade=jnp.asarray(face_shade),
         face_mesh=jnp.asarray(face_mesh),
         mesh_material=jnp.asarray(np.asarray(mesh_material, np.int32)),
         mesh_light=jnp.asarray(np.asarray(mesh_light, np.int32)),
@@ -578,6 +592,7 @@ def compile_scene(
         num_lights=L,
         btypes_present=tuple(sorted({int(r["btype"]) for r in mats.rows})),
         has_composite_textures=any(t >= 2 for t in packer.ttypes),
+        has_image_textures=any(t == TEX_IMAGE for t in packer.ttypes),
         has_background=has_bg,
         sampler_kind=scene.sampler.kind,
         sample_count=scene.sampler.sample_count,

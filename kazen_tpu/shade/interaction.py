@@ -32,16 +32,16 @@ class Interaction(NamedTuple):
 
 def prepare(scene, rays: Rays, hit: Hit) -> Interaction:
     f = jnp.clip(hit.face, 0, scene.F.shape[0] - 1)
-    idx = scene.F[f]  # (N, 3)
-    p0 = scene.V[idx[:, 0]]
-    p1 = scene.V[idx[:, 1]]
-    p2 = scene.V[idx[:, 2]]
-    n0 = scene.N[idx[:, 0]]
-    n1 = scene.N[idx[:, 1]]
-    n2 = scene.N[idx[:, 2]]
-    uv0 = scene.UV[idx[:, 0]]
-    uv1 = scene.UV[idx[:, 1]]
-    uv2 = scene.UV[idx[:, 2]]
+    row = scene.face_shade[f]  # (N, 24): one contiguous gather
+    p0 = row[:, 0:3]
+    p1 = row[:, 3:6]
+    p2 = row[:, 6:9]
+    n0 = row[:, 9:12]
+    n1 = row[:, 12:15]
+    n2 = row[:, 15:18]
+    uv0 = row[:, 18:20]
+    uv1 = row[:, 20:22]
+    uv2 = row[:, 22:24]
 
     mesh = scene.face_mesh[f]
     has_n = scene.mesh_has_normals[mesh]

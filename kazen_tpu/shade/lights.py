@@ -55,17 +55,17 @@ def sample_area_light(scene, light_idx, ref_p, u_tri, u1, u2):
     u = 1.0 - su0
     v = u2 * su0
 
-    idx = scene.F[face]
-    p0 = scene.V[idx[:, 0]]
-    p1 = scene.V[idx[:, 1]]
-    p2 = scene.V[idx[:, 2]]
+    row = scene.face_shade[face]
+    p0 = row[:, 0:3]
+    p1 = row[:, 3:6]
+    p2 = row[:, 6:9]
     p = p0 + u[:, None] * (p1 - p0) + v[:, None] * (p2 - p0)
 
     mesh = scene.light_mesh[light_idx]
     has_n = scene.mesh_has_normals[mesh]
-    n0 = scene.N[idx[:, 0]]
-    n1 = scene.N[idx[:, 1]]
-    n2 = scene.N[idx[:, 2]]
+    n0 = row[:, 9:12]
+    n1 = row[:, 12:15]
+    n2 = row[:, 15:18]
     n_interp = n0 + u[:, None] * (n1 - n0) + v[:, None] * (n2 - n0)
     n_geo = km.normalize(km.cross(p1 - p0, p2 - p0))
     n = jnp.where(has_n[:, None], n_interp, n_geo)

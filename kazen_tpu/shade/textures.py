@@ -104,7 +104,10 @@ def eval_texture(static, pool, tex_id, uv, const_color):
     up-to-two composite levels where tex_id >= 0, else the per-lane
     constant color."""
     tid = jnp.maximum(tex_id, 0)
-    if not static.has_composite_textures:
+    if not static.has_composite_textures and not static.has_image_textures:
+        # only constant nodes exist: composite/image paths compile away
+        val = pool.const_color[tid]
+    elif not static.has_composite_textures:
         val = _eval_leaf(pool, tid, uv)
     else:
         level1 = lambda nid: _combine(

@@ -147,6 +147,10 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
 
     wi_world = -st.ray_d
     wi_local = its.sh_frame.to_local(wi_world)
+    ctx = bsdf_mod.make_ctx(
+        scene=scene, static=static, mat_id=its.material, uv=its.uv,
+        sh_frame=its.sh_frame, dpdu=its.dpdu, wi=wi_local,
+    )
 
     # (1) emitter hit terminates the lane (integrator.cpp:226-231)
     hit_light = alive & (its.light >= 0)
@@ -193,14 +197,8 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
             alive,
         )
         wo_local = its.sh_frame.to_local(ls.wi)
-        f = bsdf_mod.eval(
-            static, scene, its.material, its.uv, its.sh_frame, its.dpdu,
-            wi_local, wo_local, accum,
-        )
-        pdf_b = bsdf_mod.pdf(
-            static, scene, its.material, its.uv, its.sh_frame, its.dpdu,
-            wi_local, wo_local, accum,
-        )
+        f = bsdf_mod.eval_ctx(static, scene, ctx, wo_local, accum)
+        pdf_b = bsdf_mod.pdf_ctx(static, scene, ctx, wo_local, accum)
         w_light = power_heuristic(ls.pdf, pdf_b)
         contrib = throughput * ls_val * f * w_light[:, None]
         li = li + jnp.where((alive & ~occluded)[:, None], contrib, 0.0)
@@ -210,7 +208,7 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
 
     # (4) roughness-bias firefly control (integrator.cpp:297-301)
     if static.regularization:
-        reg = bsdf_mod.regularize_resolved(static, scene, its.material, its.uv)
+        reg = bsdf_mod.regularize_ctx(static, scene, ctx)
         accum = jnp.where(
             alive, accum + reg * static.accumulated_roughness, accum
         )
@@ -218,19 +216,13 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
     # (5) BSDF sampling (integrator.cpp:303-309)
     stream, s1 = streams.next_1d(spec, stream)
     stream, s2 = streams.next_2d(spec, stream)
-    res = bsdf_mod.sample(
-        static, scene, its.material, its.uv, its.sh_frame, its.dpdu,
-        wi_local, s1, s2, accum,
-    )
+    res = bsdf_mod.sample_ctx(static, scene, ctx, s1, s2, accum)
     throughput = jnp.where(alive[:, None], throughput * res.weight, throughput)
     eta = jnp.where(alive, eta * res.eta, eta)
     # zero-weight lanes can never contribute again
     alive = alive & jnp.any(res.weight > 0.0, axis=-1)
 
-    bsdf_pdf = bsdf_mod.pdf(
-        static, scene, its.material, its.uv, its.sh_frame, its.dpdu,
-        wi_local, res.wo, accum,
-    )
+    bsdf_pdf = bsdf_mod.pdf_ctx(static, scene, ctx, res.wo, accum)
 
     # (6) trace the BSDF ray (integrator.cpp:312-331)
     new_d = its.sh_frame.to_world(res.wo)

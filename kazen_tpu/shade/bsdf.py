@@ -585,57 +585,108 @@ def _resolve_normalmap(static, scene, materials, mat_id, uv, sh_frame, dpdu, wi)
     return mp, mp_eff, perturbed, pframe, wi_eff, sh_frame
 
 
-def eval(static, scene, mat_id, uv, sh_frame, dpdu, wi, wo, accum_rough):
-    """BSDF::eval with per-lane material dispatch + normalmap handling.
+class ShadeCtx(NamedTuple):
+    """Per-hit shading context: material rows gathered once, normalmap frame
+    resolved once; eval/pdf/sample share it (5x fewer table gathers per
+    bounce)."""
 
-    wi/wo are in the interaction's shading frame; returns f*cos(theta_o).
-    """
+    mp: MaterialTable  # raw rows
+    mp_eff: MaterialTable  # nested-resolved rows
+    uv: jnp.ndarray
+    sh_frame: km.Frame
+    wi: jnp.ndarray  # local wi (unperturbed)
+    wi_eff: jnp.ndarray
+    perturbed: jnp.ndarray
+    pframe: km.Frame
+
+
+def make_ctx(static, scene, mat_id, uv, sh_frame, dpdu, wi) -> ShadeCtx:
     mp, mp_eff, perturbed, pframe, wi_eff, _ = _resolve_normalmap(
         static, scene, scene.materials, mat_id, uv, sh_frame, dpdu, wi
     )
+    if pframe is None:
+        pframe = sh_frame
+    return ShadeCtx(
+        mp=mp,
+        mp_eff=mp_eff,
+        uv=uv,
+        sh_frame=sh_frame,
+        wi=wi,
+        wi_eff=wi_eff,
+        perturbed=perturbed,
+        pframe=pframe,
+    )
+
+
+def eval_ctx(static, scene, ctx: ShadeCtx, wo, accum_rough):
     if BSDF_NORMALMAP not in static.btypes_present:
-        return eval_base(static, scene, mp, uv, wi, wo, accum_rough)
-    wo_p = pframe.to_local(sh_frame.to_world(wo))
-    wo_eff = jnp.where(perturbed[..., None], wo_p, wo)
-    val = eval_base(static, scene, mp_eff, uv, wi_eff, wo_eff, accum_rough)
-    bad = perturbed & (_cos(wo) * _cos(wo_p) <= 0.0)
+        return eval_base(static, scene, ctx.mp, ctx.uv, ctx.wi, wo, accum_rough)
+    wo_p = ctx.pframe.to_local(ctx.sh_frame.to_world(wo))
+    wo_eff = jnp.where(ctx.perturbed[..., None], wo_p, wo)
+    val = eval_base(
+        static, scene, ctx.mp_eff, ctx.uv, ctx.wi_eff, wo_eff, accum_rough
+    )
+    bad = ctx.perturbed & (_cos(wo) * _cos(wo_p) <= 0.0)
     return _mask3(~bad, val)
 
 
-def pdf(static, scene, mat_id, uv, sh_frame, dpdu, wi, wo, accum_rough):
-    mp, mp_eff, perturbed, pframe, wi_eff, _ = _resolve_normalmap(
-        static, scene, scene.materials, mat_id, uv, sh_frame, dpdu, wi
-    )
+def pdf_ctx(static, scene, ctx: ShadeCtx, wo, accum_rough):
     if BSDF_NORMALMAP not in static.btypes_present:
-        return pdf_base(static, scene, mp, uv, wi, wo, accum_rough)
-    wo_p = pframe.to_local(sh_frame.to_world(wo))
-    wo_eff = jnp.where(perturbed[..., None], wo_p, wo)
-    val = pdf_base(static, scene, mp_eff, uv, wi_eff, wo_eff, accum_rough)
-    bad = perturbed & (_cos(wo) * _cos(wo_p) <= 0.0)
+        return pdf_base(static, scene, ctx.mp, ctx.uv, ctx.wi, wo, accum_rough)
+    wo_p = ctx.pframe.to_local(ctx.sh_frame.to_world(wo))
+    wo_eff = jnp.where(ctx.perturbed[..., None], wo_p, wo)
+    val = pdf_base(
+        static, scene, ctx.mp_eff, ctx.uv, ctx.wi_eff, wo_eff, accum_rough
+    )
+    bad = ctx.perturbed & (_cos(wo) * _cos(wo_p) <= 0.0)
     return jnp.where(bad, 0.0, val)
 
 
-def sample(
-    static, scene, mat_id, uv, sh_frame, dpdu, wi, s1, s2, accum_rough
-) -> SampleResult:
-    mp, mp_eff, perturbed, pframe, wi_eff, _ = _resolve_normalmap(
-        static, scene, scene.materials, mat_id, uv, sh_frame, dpdu, wi
+def sample_ctx(static, scene, ctx: ShadeCtx, s1, s2, accum_rough) -> SampleResult:
+    res = sample_base(
+        static, scene, ctx.mp_eff, ctx.uv, ctx.wi_eff, s1, s2, accum_rough
     )
-    res = sample_base(static, scene, mp_eff, uv, wi_eff, s1, s2, accum_rough)
     if BSDF_NORMALMAP not in static.btypes_present:
         return res
     # Map the sampled direction back through the perturbed frame
     # (bsdf.cpp:357-362) and reject hemisphere flips.
-    wo_world = pframe.to_world(res.wo)
-    wo_back = sh_frame.to_local(wo_world)
-    wo = jnp.where(perturbed[..., None], wo_back, res.wo)
-    bad = perturbed & (_cos(wo) * _cos(res.wo) <= 0.0)
+    wo_world = ctx.pframe.to_world(res.wo)
+    wo_back = ctx.sh_frame.to_local(wo_world)
+    wo = jnp.where(ctx.perturbed[..., None], wo_back, res.wo)
+    bad = ctx.perturbed & (_cos(wo) * _cos(res.wo) <= 0.0)
     return SampleResult(
         wo=wo,
         weight=_mask3(~bad, res.weight),
         eta=res.eta,
         is_discrete=res.is_discrete,
     )
+
+
+def regularize_ctx(static, scene, ctx: ShadeCtx):
+    """regularize() with normalmap forwarding (bsdf.cpp:412)."""
+    return regularize(static, scene, ctx.mp_eff, ctx.uv)
+
+
+# thin mat_id wrappers (tests / simple integrators)
+def eval(static, scene, mat_id, uv, sh_frame, dpdu, wi, wo, accum_rough):
+    """BSDF::eval with per-lane material dispatch + normalmap handling.
+
+    wi/wo are in the interaction's shading frame; returns f*cos(theta_o).
+    """
+    ctx = make_ctx(static, scene, mat_id, uv, sh_frame, dpdu, wi)
+    return eval_ctx(static, scene, ctx, wo, accum_rough)
+
+
+def pdf(static, scene, mat_id, uv, sh_frame, dpdu, wi, wo, accum_rough):
+    ctx = make_ctx(static, scene, mat_id, uv, sh_frame, dpdu, wi)
+    return pdf_ctx(static, scene, ctx, wo, accum_rough)
+
+
+def sample(
+    static, scene, mat_id, uv, sh_frame, dpdu, wi, s1, s2, accum_rough
+) -> SampleResult:
+    ctx = make_ctx(static, scene, mat_id, uv, sh_frame, dpdu, wi)
+    return sample_ctx(static, scene, ctx, s1, s2, accum_rough)
 
 
 def regularize_resolved(static, scene, mat_id, uv):

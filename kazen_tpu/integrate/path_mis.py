@@ -222,7 +222,7 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
     # zero-weight lanes can never contribute again
     alive = alive & jnp.any(res.weight > 0.0, axis=-1)
 
-    bsdf_pdf = bsdf_mod.pdf_ctx(static, scene, ctx, res.wo, accum)
+    bsdf_pdf = res.pdf
 
     # (6) trace the BSDF ray (integrator.cpp:312-331)
     new_d = its.sh_frame.to_world(res.wo)

@@ -47,6 +47,9 @@ class SampleResult(NamedTuple):
     weight: jnp.ndarray  # (N, 3) f*cos/pdf
     eta: jnp.ndarray  # (N,)
     is_discrete: jnp.ndarray  # (N,) bool
+    pdf: jnp.ndarray  # (N,) solid-angle pdf of wo (0 for discrete lobes),
+    # identical to calling pdf() on the sampled direction (the MIS pdf the
+    # integrator reads after sampling, integrator.cpp:314)
 
 
 def gather(materials: MaterialTable, mat_id) -> MaterialTable:
@@ -87,13 +90,15 @@ def _diffuse_pdf(wi, wo):
 def _diffuse_sample(albedo, wi, s2):
     wo = warp.square_to_cosine_hemisphere(s2)
     w = _mask3(_cos(wi) > 0.0, albedo)
-    return wo, w, jnp.ones(wi.shape[:-1]), jnp.zeros(wi.shape[:-1], bool)
+    return wo, w, jnp.ones(wi.shape[:-1]), jnp.zeros(wi.shape[:-1], bool), \
+        _diffuse_pdf(wi, wo)
 
 
 def _mirror_sample(wi, s2):
     wo = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], -1)
     w = _mask3(_cos(wi) > 0.0, jnp.ones_like(wi))
-    return wo, w, jnp.ones(wi.shape[:-1]), jnp.ones(wi.shape[:-1], bool)
+    z = jnp.zeros(wi.shape[:-1])
+    return wo, w, jnp.ones(wi.shape[:-1]), jnp.ones(wi.shape[:-1], bool), z
 
 
 def _dielectric_sample(mp, wi, s1):
@@ -116,7 +121,7 @@ def _dielectric_sample(mp, wi, s1):
     wo = jnp.where(choose_reflect[..., None], reflectv, refracted)
     eta = jnp.where(choose_reflect, 1.0, mp.int_ior / mp.ext_ior)
     w = jnp.ones_like(wi)
-    return wo, w, eta, jnp.ones(cos_i.shape, bool)
+    return wo, w, eta, jnp.ones(cos_i.shape, bool), jnp.zeros(cos_i.shape)
 
 
 def _ggx_eval(static, scene, mp, uv, wi, wo):
@@ -143,7 +148,8 @@ def _ggx_sample(static, scene, mp, uv, wi, s2):
     pdf = _ggx_pdf(mp, wi, wo)
     w = val / jnp.maximum(pdf, 1e-9)[..., None]
     m = (_cos(wi) > 0.0) & (_cos(wo) > 0.0) & (pdf > 0.0)
-    return wo, _mask3(m, w), jnp.ones(wi.shape[:-1]), jnp.zeros(wi.shape[:-1], bool)
+    return wo, _mask3(m, w), jnp.ones(wi.shape[:-1]), \
+        jnp.zeros(wi.shape[:-1], bool), pdf
 
 
 def _roughconductor_eval(mp, wi, wo):
@@ -174,7 +180,8 @@ def _roughconductor_sample(mp, wi, s2):
     pdf = _roughconductor_pdf(mp, wi, wo)
     w = val / jnp.maximum(pdf, 1e-9)[..., None]
     m = (_cos(wi) > 0.0) & (_cos(wo) > 0.0) & (pdf > 0.0)
-    return wo, _mask3(m, w), jnp.ones(wi.shape[:-1]), jnp.zeros(wi.shape[:-1], bool)
+    return wo, _mask3(m, w), jnp.ones(wi.shape[:-1]), \
+        jnp.zeros(wi.shape[:-1], bool), pdf
 
 
 def _roughplastic_ks(mp):
@@ -215,7 +222,8 @@ def _roughplastic_sample(mp, wi, s1, s2):
     pdf = _roughplastic_pdf(mp, wi, wo)
     w = val / jnp.maximum(pdf, 1e-9)[..., None]
     m = (_cos(wi) > 0.0) & (_cos(wo) > 0.0) & (pdf > 0.0)
-    return wo, _mask3(m, w), jnp.ones(wi.shape[:-1]), jnp.zeros(wi.shape[:-1], bool)
+    return wo, _mask3(m, w), jnp.ones(wi.shape[:-1]), \
+        jnp.zeros(wi.shape[:-1], bool), pdf
 
 
 def _rd_refract(wi, n, eta, cos_theta_t):
@@ -315,7 +323,10 @@ def _roughdielectric_sample(mp, wi, s1, s2):
         / jnp.where(pdf_m * cos_i == 0.0, 1e-9, pdf_m * cos_i)
     )
     w3 = _mask3(ok, w[..., None] * jnp.ones_like(wi))
-    return wo, w3, eta, jnp.zeros(cos_i.shape, bool)
+    # post-sample MIS pdf uses the class (un-Walter-scaled) alpha
+    # (integrator reads pdf(bRec) after sampling)
+    pdf_out = _roughdielectric_pdf(mp, wi, wo)
+    return wo, w3, eta, jnp.zeros(cos_i.shape, bool), pdf_out
 
 
 # ---------------------------------------------------------------------------
@@ -444,7 +455,7 @@ def _kiss_sample(static, scene, mp, uv, wi, s1, s2, accum_rough):
         & jnp.all(jnp.isfinite(wo), axis=-1)
     )
     w = jnp.where(jnp.isfinite(w), w, 0.0)
-    return wo, _mask3(ok, w), jnp.ones(s1.shape), jnp.zeros(s1.shape, bool)
+    return wo, _mask3(ok, w), jnp.ones(s1.shape), jnp.zeros(s1.shape, bool), pdf
 
 
 # ---------------------------------------------------------------------------
@@ -512,26 +523,29 @@ def sample_base(static, scene, mp, uv, wi, s1, s2, accum_rough) -> SampleResult:
         weight=jnp.zeros_like(wi),
         eta=jnp.ones(n),
         is_discrete=jnp.zeros(n, bool),
+        pdf=jnp.zeros(n),
     )
     for t in _base_types(static):
         m = mp.btype == t
         if t in (BSDF_DIFFUSE, BSDF_LAMBERTIAN):
             albedo = _diffuse_albedo(static, scene, mp, uv, t == BSDF_LAMBERTIAN)
-            wo, w, eta, disc = _diffuse_sample(albedo, wi, s2)
+            wo, w, eta, disc, pdf = _diffuse_sample(albedo, wi, s2)
         elif t == BSDF_MIRROR:
-            wo, w, eta, disc = _mirror_sample(wi, s2)
+            wo, w, eta, disc, pdf = _mirror_sample(wi, s2)
         elif t == BSDF_DIELECTRIC:
-            wo, w, eta, disc = _dielectric_sample(mp, wi, s1)
+            wo, w, eta, disc, pdf = _dielectric_sample(mp, wi, s1)
         elif t == BSDF_GGX:
-            wo, w, eta, disc = _ggx_sample(static, scene, mp, uv, wi, s2)
+            wo, w, eta, disc, pdf = _ggx_sample(static, scene, mp, uv, wi, s2)
         elif t == BSDF_ROUGHCONDUCTOR:
-            wo, w, eta, disc = _roughconductor_sample(mp, wi, s2)
+            wo, w, eta, disc, pdf = _roughconductor_sample(mp, wi, s2)
         elif t == BSDF_ROUGHPLASTIC:
-            wo, w, eta, disc = _roughplastic_sample(mp, wi, s1, s2)
+            wo, w, eta, disc, pdf = _roughplastic_sample(mp, wi, s1, s2)
         elif t == BSDF_ROUGHDIELECTRIC:
-            wo, w, eta, disc = _roughdielectric_sample(mp, wi, s1, s2)
+            wo, w, eta, disc, pdf = _roughdielectric_sample(mp, wi, s1, s2)
         elif t == BSDF_KISS:
-            wo, w, eta, disc = _kiss_sample(static, scene, mp, uv, wi, s1, s2, accum_rough)
+            wo, w, eta, disc, pdf = _kiss_sample(
+                static, scene, mp, uv, wi, s1, s2, accum_rough
+            )
         else:
             raise ValueError(f"unhandled btype {t}")
         out = SampleResult(
@@ -539,6 +553,7 @@ def sample_base(static, scene, mp, uv, wi, s1, s2, accum_rough) -> SampleResult:
             weight=jnp.where(m[..., None], w, out.weight),
             eta=jnp.where(m, eta, out.eta),
             is_discrete=jnp.where(m, disc, out.is_discrete),
+            pdf=jnp.where(m, pdf, out.pdf),
         )
     return out
 
@@ -659,6 +674,7 @@ def sample_ctx(static, scene, ctx: ShadeCtx, s1, s2, accum_rough) -> SampleResul
         weight=_mask3(~bad, res.weight),
         eta=res.eta,
         is_discrete=res.is_discrete,
+        pdf=jnp.where(bad, 0.0, res.pdf),
     )
 
 

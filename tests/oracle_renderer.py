@@ -38,6 +38,38 @@ class OracleSampler:
         return np.array([self.pcg.next_float(), self.pcg.next_float()], F32)
 
 
+class OracleStratifiedSampler:
+    """Stratified sampler (sampler.cpp:81-156)."""
+
+    def __init__(self, sample_count=16, seed=1):
+        self.seed = seed
+        r = 4
+        while r * r < sample_count:
+            r += 1
+        self.res = r
+        self.n = r * r
+        self.pcg = oracle_rng.PCG32()
+
+    def generate_sample(self, px, py, idx):
+        self.px, self.py, self.idx, self.dim = px, py, idx, 0
+        self.pcg.seed(oracle_rng.hash_pixel_seed(px, py, self.seed))
+        self.pcg.advance(idx * 65536)
+
+    def next1d(self):
+        h = oracle_rng.hash_pixel_dim_seed(self.px, self.py, self.dim, self.seed)
+        stratum = oracle_rng.permute(self.idx, self.n, h & 0xFFFFFFFF)
+        self.dim += 1
+        return F32((stratum + self.pcg.next_float()) / self.n)
+
+    def next2d(self):
+        h = oracle_rng.hash_pixel_dim_seed(self.px, self.py, self.dim, self.seed)
+        stratum = oracle_rng.permute(self.idx, self.n, h & 0xFFFFFFFF)
+        self.dim += 2
+        x, y = stratum % self.res, stratum // self.res
+        dx, dy = self.pcg.next_float(), self.pcg.next_float()
+        return np.array([(x + dx) / self.res, (y + dy) / self.res], F32)
+
+
 class OracleRenderer:
     def __init__(self, arrays, static):
         g = lambda a: np.asarray(a)
@@ -52,6 +84,14 @@ class OracleRenderer:
         self.UV = g(arrays.UV)
         self.mat_btype = g(arrays.materials.btype)
         self.mat_base = g(arrays.materials.base_color)
+        self.mat = {
+            k: g(getattr(arrays.materials, k))
+            for k in (
+                "metallic", "roughness", "anisotropy", "specular",
+                "specular_tint", "clearcoat", "clearcoat_roughness",
+                "sheen", "sheen_tint",
+            )
+        }
         self.light_mesh = g(arrays.light_mesh)
         self.light_radiance = g(arrays.light_radiance)
         self.light_primary_vis = g(arrays.light_primary_vis)
@@ -199,19 +239,191 @@ class OracleRenderer:
             return self.light_inv_area[li] * dist * dist / cos_theta
         return F32(0.0)
 
-    # -- diffuse BSDF ------------------------------------------------------
+    # -- BSDFs (diffuse + kiss) --------------------------------------------
 
-    def bsdf_eval(self, its, wi, wo):
+    def _ggx_alpha(self, roughness, aniso):
+        a = max(F32(1e-3), F32(roughness * roughness))
+        return np.array([a * (1 + aniso), a * (1 - aniso)], F32)
+
+    def _ggx_lambda(self, v, alpha):
+        sq = (alpha[0]**2 * v[0]**2 + alpha[1]**2 * v[1]**2) / max(v[2]**2, F32(1e-20))
+        return F32((-1.0 + np.sqrt(1.0 + sq)) * 0.5)
+
+    def _ggx_g2(self, v, l, h, alpha):
+        if np.dot(v, h) <= 0 or np.dot(l, h) < 0:
+            return F32(0.0)
+        return F32(1.0 / (1.0 + self._ggx_lambda(v, alpha) + self._ggx_lambda(l, alpha)))
+
+    def _ggx_g1(self, v, h, alpha):
+        if np.dot(v, h) <= 0:
+            return F32(0.0)
+        return F32(1.0 / (1.0 + self._ggx_lambda(v, alpha)))
+
+    def _ggx_d(self, h, alpha):
+        e = h[0]**2 / alpha[0]**2 + h[1]**2 / alpha[1]**2 + h[2]**2
+        return F32(1.0 / (np.pi * alpha[0] * alpha[1] * e * e))
+
+    def _ggx_vndf(self, v, h, alpha):
+        vdoth = F32(np.dot(v, h))
+        if vdoth <= 0:
+            return F32(0.0)
+        return F32(self._ggx_d(h, alpha) * self._ggx_g1(v, h, alpha) * vdoth / v[2])
+
+    def _sample_vndf(self, v, alpha, u2):
+        vh = normalize(np.array([alpha[0]*v[0], alpha[1]*v[1], v[2]], F32))
+        lensq = vh[0]**2 + vh[1]**2
+        if lensq > 0:
+            t1 = np.array([-vh[1], vh[0], 0.0], F32) / np.sqrt(lensq).astype(F32)
+        else:
+            t1 = np.array([1.0, 0.0, 0.0], F32)
+        t2 = normalize(np.cross(vh, t1).astype(F32))
+        r = np.sqrt(u2[0]).astype(F32)
+        phi = F32(2.0 * np.pi * u2[1])
+        p1 = F32(r * np.cos(phi))
+        p2 = F32(r * np.sin(phi))
+        sfac = F32(0.5 * (1.0 + vh[2]))
+        p2 = F32((1.0 - sfac) * np.sqrt(max(1.0 - p1*p1, 0.0)) + sfac * p2)
+        nh = p1*t1 + p2*t2 + np.sqrt(max(1.0 - p1*p1 - p2*p2, 0.0)).astype(F32)*vh
+        return normalize(np.array(
+            [alpha[0]*nh[0], alpha[1]*nh[1], max(1e-6, nh[2])], F32))
+
+    def _schlick_w(self, x):
+        x = min(max(1.0 - x, 0.0), 1.0)
+        return F32(x**5)
+
+    def _kiss_eval(self, m, wi, wo, accum):
         if wi[2] <= 0 or wo[2] <= 0:
             return np.zeros(3, F32)
-        return self.mat_base[its["material"]] * F32(1 / np.pi) * wo[2]
+        V, L = wi, wo
+        Hv = normalize(V + L)
+        cdlin = self.mat_base[m]
+        metallic = self.mat["metallic"][m]
+        rough = min(F32(1.0), self.mat["roughness"][m] + accum)
+        cdlum = F32(cdlin[0]*0.212671 + cdlin[1]*0.715160 + cdlin[2]*0.072169)
+        ctint = cdlin / cdlum if cdlum > 0 else np.ones(3, F32)
+        st = self.mat["specular_tint"][m]
+        ctintmix = F32(0.08) * self.mat["specular"][m] * ((1-st)*np.ones(3, F32) + st*ctint)
+        cspec0 = (1-metallic)*ctintmix + metallic*cdlin
+        fl = self._schlick_w(L[2]); fv = self._schlick_w(V[2])
+        fh = self._schlick_w(np.dot(L, Hv))
+        cosd = F32(np.dot(V, Hv))
+        lam = F32((1 - 0.5*fl) * (1 - 0.5*fv))
+        rr = F32(2.0 * rough * cosd * cosd)
+        retro = F32(rr * (fl + fv + fl*fv*(rr - 1.0)))
+        sheen_t = self.mat["sheen_tint"][m]
+        csheen = (1-sheen_t)*np.ones(3, F32) + sheen_t*ctint
+        fsheen = fh * self.mat["sheen"][m] * csheen
+        alpha = self._ggx_alpha(rough, self.mat["anisotropy"][m])
+        d = self._ggx_d(Hv, alpha)
+        g = self._ggx_g2(V, L, Hv, alpha)
+        fr = cspec0 + (1.0 - cspec0) * self._schlick_w(np.dot(V, Hv)) * 0 +             (cspec0 + (np.ones(3, F32) - cspec0) * F32(min(max(1.0-np.dot(V, Hv),0.0),1.0)**5)) * 0
+        fterm = cspec0 + (np.ones(3, F32) - cspec0) * F32(min(max(1.0-np.dot(V, Hv),0.0),1.0)**5)
+        spec = d * g * fterm / max(4.0 * abs(V[2]) * abs(L[2]), 1e-9)
+        if V[2] * L[2] < 0:
+            spec = np.zeros(3, F32)
+        ccr = F32((1 - self.mat["clearcoat_roughness"][m]) * 0.01
+                  + self.mat["clearcoat_roughness"][m] * 0.3)
+        ca = self._ggx_alpha(ccr, self.mat["anisotropy"][m])
+        dc = self._ggx_d(Hv, ca)
+        gc = self._ggx_g2(V, L, Hv, ca)
+        f04 = np.full(3, 0.04, F32)
+        fc = f04 + (np.ones(3, F32) - f04) * F32(min(max(1.0-np.dot(V, Hv),0.0),1.0)**5)
+        cc = 0.25 * self.mat["clearcoat"][m] * dc * gc * fc / max(
+            4.0 * abs(V[2]) * abs(L[2]), 1e-9)
+        if V[2] * L[2] < 0:
+            cc = np.zeros(3, F32)
+        return ((1-metallic) * (cdlin * F32(1/np.pi) * (lam + retro) + fsheen)
+                + spec + cc).astype(F32) * wo[2]
 
-    def bsdf_pdf(self, its, wi, wo):
+    def _kiss_pdf(self, m, wi, wo, accum):
+        if wi[2] <= 0 or wo[2] <= 0:
+            return F32(0.0)
+        metallic = self.mat["metallic"][m]
+        diffuse = F32((1.0 - metallic) * 0.5)
+        gtr2 = F32(1.0 / (1.0 + self.mat["clearcoat"][m]))
+        Hv = normalize(wi + wo)
+        jac = F32(4.0 * np.dot(wi, Hv))
+        if jac == 0:
+            jac = F32(1e-9)
+        rough = min(F32(1.0), self.mat["roughness"][m] + accum)
+        alpha = self._ggx_alpha(rough, self.mat["anisotropy"][m])
+        spec_pdf = self._ggx_vndf(wi, Hv, alpha) / jac
+        ccr = F32((1 - self.mat["clearcoat_roughness"][m]) * 0.01
+                  + self.mat["clearcoat_roughness"][m] * 0.3)
+        ca = self._ggx_alpha(ccr, 0.0)
+        coat_pdf = self._ggx_vndf(wi, Hv, ca) / jac
+        return F32(diffuse * (1/np.pi) * wo[2]
+                   + (1 - diffuse) * (gtr2 * spec_pdf + (1 - gtr2) * coat_pdf))
+
+    def _kiss_sample(self, m, wi, s1, s2, accum):
+        if wi[2] <= 0:
+            return None
+        metallic = self.mat["metallic"][m]
+        diffuse = F32((1.0 - metallic) * 0.5)
+        if s1 < diffuse:
+            wo = self._cosine_hemi(s2)
+        else:
+            srs = F32((s1 - diffuse) / max(1.0 - diffuse, 1e-9))
+            gtr2 = F32(1.0 / (1.0 + self.mat["clearcoat"][m]))
+            flip = wi[2] <= 0
+            wiv = -wi if flip else wi
+            if srs < gtr2:
+                alpha = self._ggx_alpha(self.mat["roughness"][m], self.mat["anisotropy"][m])
+            else:
+                ccr = F32((1 - self.mat["clearcoat_roughness"][m]) * 0.01
+                          + self.mat["clearcoat_roughness"][m] * 0.3)
+                alpha = self._ggx_alpha(ccr, 0.0)
+            Hv = self._sample_vndf(wiv, alpha, s2)
+            if flip:
+                Hv = -Hv
+            wo = normalize(2.0 * np.dot(wi, Hv) * Hv - wi)
+        pdf = self._kiss_pdf(m, wi, wo, accum)
+        if wo[2] <= 0 or pdf <= 1e-4 or not np.isfinite(wo).all():
+            return dict(wo=np.array([0, 0, 1], F32), weight=np.zeros(3, F32),
+                        eta=F32(1.0), discrete=False)
+        w = self._kiss_eval(m, wi, wo, accum) / max(pdf, F32(1e-9))
+        if not np.isfinite(w).all():
+            w = np.zeros(3, F32)
+        return dict(wo=wo, weight=w.astype(F32), eta=F32(1.0), discrete=False)
+
+    def _cosine_hemi(self, s2):
+        r1 = F32(2.0) * s2[0] - F32(1.0)
+        r2 = F32(2.0) * s2[1] - F32(1.0)
+        if r1 == 0 and r2 == 0:
+            r = phi = F32(0.0)
+        elif r1 * r1 > r2 * r2:
+            r = r1
+            phi = F32(np.pi / 4) * (r2 / r1)
+        else:
+            r = r2
+            phi = F32(np.pi / 2) - (r1 / r2) * F32(np.pi / 4)
+        px = r * np.cos(phi).astype(F32)
+        py = r * np.sin(phi).astype(F32)
+        z = np.sqrt(max(F32(1.0) - px * px - py * py, F32(0.0))).astype(F32)
+        if z == 0:
+            z = F32(1e-10)
+        return np.array([px, py, z], F32)
+
+    def bsdf_eval(self, its, wi, wo, accum=F32(0.0)):
+        m = its["material"]
+        if self.mat_btype[m] == 8:
+            return self._kiss_eval(m, wi, wo, accum)
+        if wi[2] <= 0 or wo[2] <= 0:
+            return np.zeros(3, F32)
+        return self.mat_base[m] * F32(1 / np.pi) * wo[2]
+
+    def bsdf_pdf(self, its, wi, wo, accum=F32(0.0)):
+        m = its["material"]
+        if self.mat_btype[m] == 8:
+            return self._kiss_pdf(m, wi, wo, accum)
         if wi[2] <= 0 or wo[2] <= 0:
             return F32(0.0)
         return F32(1 / np.pi) * wo[2]
 
-    def bsdf_sample(self, its, wi, s1, s2):
+    def bsdf_sample(self, its, wi, s1, s2, accum=F32(0.0)):
+        m = its["material"]
+        if self.mat_btype[m] == 8:
+            return self._kiss_sample(m, wi, s1, s2, accum)
         if wi[2] <= 0:
             return None
         # concentric-disk cosine hemisphere (warp.cpp:86-115)
@@ -341,7 +553,10 @@ class OracleRenderer:
         st = self.static
         n_samples = spp if spp is not None else st.sample_count
         img = np.zeros((st.height, st.width, 4), F32)
-        sampler = OracleSampler(seed=st.seed)
+        if st.sampler_kind == "stratified":
+            sampler = OracleStratifiedSampler(st.sample_count, seed=st.seed)
+        else:
+            sampler = OracleSampler(seed=st.seed)
         inv_size = np.array([1.0 / st.width, 1.0 / st.height], F32)
         for y in range(st.height):
             for x in range(st.width):

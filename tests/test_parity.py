@@ -45,3 +45,29 @@ def test_direct_light_parity():
         light_kwargs=dict(intensity=10.0, primary_visibility=True),
     )
     _compare(scene, spp=2)
+
+
+@pytest.mark.slow
+def test_kiss_cornell_parity():
+    """Golden parity with the kiss BSDF on every wall (flagship material)."""
+    import kazen_tpu.scene.description as D
+
+    scene = scenes.cornell_box(
+        width=12, height=12, spp=2, max_depth=3,
+        wall_bsdf=D.KazenStandard(
+            base_color=D.ConstantTexture((0.65, 0.55, 0.45)),
+            roughness=D.ConstantTexture((0.35,) * 3),
+            metallic=D.ConstantTexture((0.25,) * 3),
+            clearcoat=0.4,
+            sheen=0.3,
+        ),
+    )
+    _compare(scene, spp=2, atol=5e-3, max_bad_frac=0.01)
+
+
+@pytest.mark.slow
+def test_stratified_cornell_parity():
+    scene = scenes.cornell_box(
+        width=12, height=12, spp=4, max_depth=3, sampler="stratified"
+    )
+    _compare(scene, spp=4)

@@ -107,6 +107,11 @@ def hash_pixel_dim_seed_dyn(px, py, dim, seed: int) -> U64:
     return _murmur_finalize(h)
 
 
+def hash_float(h: U64) -> jnp.ndarray:
+    """HashFloat (hash.h:110-113): low 32 bits of a Hash as [0,1) float."""
+    return h[1].astype(jnp.float32) * jnp.float32(2.0**-32)
+
+
 def mix_bits(v: U64) -> U64:
     """MixBits (hash.h:72-79)."""
     v = u64.xor(v, u64.shr(v, 31))

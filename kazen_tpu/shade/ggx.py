@@ -159,3 +159,34 @@ def fresnel_conductor(cos_theta_i, eta, k):
         tmp_f + 2.0 * eta * ci + km.sqr(ci)
     )
     return (rparl2 + rperp2) / 2.0
+
+
+# ---------------------------------------------------------------------------
+# Shadow-terminator softening terms. The reference implements both in kiss
+# (bsdf.cpp:1190-1213) but leaves their call sites commented out
+# (:1261-1262); the always-on mechanism is the Hanika hit-point offset in
+# shade/interaction.py. Provided for scenes that opt in.
+# ---------------------------------------------------------------------------
+
+
+def shadow_terminator_chiang(l, sh_n, geo_n):
+    """[Chiang 2019] smooth G' term (bsdf.cpp:1190-1205)."""
+    ndotl = jnp.maximum(0.0, km.dot(sh_n, l))
+    ngdotl = jnp.maximum(0.0, km.dot(geo_n, l))
+    ngdotn = jnp.maximum(0.0, km.dot(geo_n, sh_n))
+    denom = ndotl * ngdotn
+    g = ngdotl / jnp.where(denom == 0.0, 1.0, denom)
+    smooth = -(g * g * g) + g * g + g
+    out = jnp.where(g <= 1.0, smooth, 1.0)
+    return jnp.where((ndotl == 0.0) | (ngdotl == 0.0) | (ngdotn == 0.0), 0.0, out)
+
+
+def shadow_terminator_soften(geo_n, sh_n, wi, alpha: float = 0.05):
+    """[Predictable and Targeted Softening ...] (bsdf.cpp:1208-1213)."""
+    import math as pymath
+
+    d = km.lerp(
+        km.dot(sh_n, geo_n), pymath.sin(alpha + 0.1), pymath.sin(alpha)
+    )
+    t = jnp.clip(km.dot(geo_n, wi) / jnp.where(d == 0.0, 1e-9, d), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)

@@ -147,3 +147,28 @@ def test_dpdf_sampling():
     u2 = np.asarray(u2)
     assert (u2 >= 0).all() and (u2 <= 1).all()
     assert abs(u2.mean() - 0.5) < 5e-3
+
+
+def test_hash_float():
+    from kazen_tpu.core import rng as krng
+
+    h = krng.hash_pixel_seed(np.uint32(3), np.uint32(7), 1)
+    v = np.asarray(krng.hash_float(h))
+    assert 0.0 <= float(v) < 1.0
+
+
+def test_shadow_terminator_terms():
+    from kazen_tpu.shade import ggx as kggx
+
+    n = jnp.asarray([[0.0, 0.0, 1.0]])
+    bent = km.normalize(jnp.asarray([[0.3, 0.0, 0.95]]))
+    l_hi = km.normalize(jnp.asarray([[0.0, 0.0, 1.0]]))
+    l_lo = km.normalize(jnp.asarray([[0.95, 0.0, 0.08]]))
+    # grazing light gets attenuated, normal-incidence does not
+    g_hi = float(kggx.shadow_terminator_chiang(l_hi, bent, n)[0])
+    g_lo = float(kggx.shadow_terminator_chiang(l_lo, bent, n)[0])
+    assert 0.99 <= g_hi <= 1.0 + 1e-6
+    assert 0.0 <= g_lo < 1.0
+    s_hi = float(kggx.shadow_terminator_soften(n, bent, l_hi)[0])
+    s_lo = float(kggx.shadow_terminator_soften(n, bent, l_lo)[0])
+    assert s_hi >= s_lo >= 0.0

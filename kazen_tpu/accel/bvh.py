@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import math as km
-from .intersect import Hit, Rays, moller_trumbore
+from .intersect import Hit, Rays
 
 LEAF_SIZE = 4
 _SAH_BINS = 16

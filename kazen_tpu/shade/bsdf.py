@@ -563,14 +563,6 @@ def sample_base(static, scene, mp, uv, wi, s1, s2, accum_rough) -> SampleResult:
 # ---------------------------------------------------------------------------
 
 
-class _Resolved(NamedTuple):
-    mp: MaterialTable  # effective (nested for normalmap lanes) params
-    wi: jnp.ndarray  # effective local wi
-    perturbed: jnp.ndarray  # (N,) bool: lane uses the perturbed frame
-    pframe: km.Frame  # perturbed frame (valid where perturbed)
-    zero_eval: jnp.ndarray  # placeholder (filled per-wo later)
-
-
 def _resolve_normalmap(static, scene, materials, mat_id, uv, sh_frame, dpdu, wi):
     mp = gather(materials, mat_id)
     if BSDF_NORMALMAP not in static.btypes_present:

@@ -197,8 +197,7 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
             alive,
         )
         wo_local = its.sh_frame.to_local(ls.wi)
-        f = bsdf_mod.eval_ctx(static, scene, ctx, wo_local, accum)
-        pdf_b = bsdf_mod.pdf_ctx(static, scene, ctx, wo_local, accum)
+        f, pdf_b = bsdf_mod.eval_pdf_ctx(static, scene, ctx, wo_local, accum)
         w_light = power_heuristic(ls.pdf, pdf_b)
         contrib = throughput * ls_val * f * w_light[:, None]
         li = li + jnp.where((alive & ~occluded)[:, None], contrib, 0.0)

@@ -422,6 +422,71 @@ def _kiss_pdf(static, scene, mp, uv, wi, wo, accum_rough):
     return jnp.where(m, pdf, 0.0)
 
 
+def _kiss_eval_pdf(static, scene, mp, uv, wi, wo, accum_rough):
+    """eval+pdf in one pass sharing textures, H, and alphas (the NEE hot
+    path evaluates both per bounce; separate dispatches defeat XLA CSE)."""
+    v, l = wi, wo
+    h = km.normalize(v + l)
+    cdlin, metallic, rough_tex = _kiss_textures(static, scene, mp, uv)
+    roughness = jnp.minimum(1.0, rough_tex + accum_rough)
+    alpha = ggx.roughness_to_alpha(roughness, mp.anisotropy)
+    cc_rough = km.lerp(mp.clearcoat_roughness, 0.01, 0.3)
+    coat_alpha_e = ggx.roughness_to_alpha(cc_rough, mp.anisotropy)
+    coat_alpha_p = ggx.roughness_to_alpha(cc_rough, jnp.zeros_like(mp.anisotropy))
+
+    # ---- eval
+    cdlum = km.luminance(cdlin)
+    ctint = jnp.where(
+        (cdlum > 0.0)[..., None], cdlin / jnp.maximum(cdlum, 1e-9)[..., None], 1.0
+    )
+    ctintmix = (0.08 * mp.specular)[..., None] * (
+        km.lerp(mp.specular_tint[..., None], jnp.ones_like(ctint), ctint)
+    )
+    cspec0 = km.lerp(metallic[..., None], ctintmix, cdlin)
+    fl = _schlick_weight(_cos(l))
+    fv = _schlick_weight(_cos(v))
+    fh = _schlick_weight(km.dot(l, h))
+    cos_d = km.dot(v, h)
+    lambert = (1.0 - 0.5 * fl) * (1.0 - 0.5 * fv)
+    rr = 2.0 * roughness * cos_d * cos_d
+    retro = rr * (fl + fv + fl * fv * (rr - 1.0))
+    csheen = km.lerp(mp.sheen_tint[..., None], jnp.ones_like(ctint), ctint)
+    fsheen = fh[..., None] * mp.sheen[..., None] * csheen
+
+    d_spec = ggx.ggx_ndf(h, alpha)
+    g_spec = ggx.smith_g2(v, l, h, alpha)
+    f_spec = ggx.schlick_fresnel(cspec0, cos_d)
+    denom = jnp.maximum(4.0 * jnp.abs(_cos(v)) * jnp.abs(_cos(l)), 1e-9)
+    opp = (_cos(v) * _cos(l) < 0.0)[..., None]
+    spec = jnp.where(opp, 0.0, (d_spec * g_spec / denom)[..., None] * f_spec)
+    d_cc = ggx.ggx_ndf(h, coat_alpha_e)
+    g_cc = ggx.smith_g2(v, l, h, coat_alpha_e)
+    f_cc = ggx.schlick_fresnel(jnp.full_like(cspec0, 0.04), cos_d)
+    cc = jnp.where(opp, 0.0, (d_cc * g_cc / denom)[..., None] * f_cc)
+    clearcoat = 0.25 * mp.clearcoat[..., None] * cc
+    val = (
+        (1.0 - metallic)[..., None]
+        * (cdlin * (km.INV_PI * (lambert + retro))[..., None] + fsheen)
+        + spec
+        + clearcoat
+    ) * _cos(wo)[..., None]
+
+    # ---- pdf (shares H/alpha; clearcoat pdf uses isotropic alpha like the
+    # reference's roughnessToAlpha(..., 0))
+    diffuse_p = (1.0 - metallic) * 0.5
+    gtr2 = 1.0 / (1.0 + mp.clearcoat)
+    jacobian = 4.0 * km.dot(wi, h)
+    jacobian = jnp.where(jacobian == 0.0, 1e-9, jacobian)
+    spec_pdf = ggx.vndf(wi, h, alpha) / jacobian
+    coat_pdf = ggx.vndf(wi, h, coat_alpha_p) / jacobian
+    pdf = diffuse_p * km.INV_PI * _cos(wo) + (1.0 - diffuse_p) * (
+        gtr2 * spec_pdf + (1.0 - gtr2) * coat_pdf
+    )
+
+    m = (_cos(wi) > 0.0) & (_cos(wo) > 0.0)
+    return _mask3(m, val), jnp.where(m, pdf, 0.0)
+
+
 def _kiss_sample(static, scene, mp, uv, wi, s1, s2, accum_rough):
     _, metallic, rough_tex = _kiss_textures(static, scene, mp, uv)
     diffuse = (1.0 - metallic) * 0.5
@@ -514,6 +579,40 @@ def pdf_base(static, scene, mp, uv, wi, wo, accum_rough):
             raise ValueError(f"unhandled btype {t}")
         out = jnp.where(m, v, out)
     return out
+
+
+def eval_pdf_base(static, scene, mp, uv, wi, wo, accum_rough):
+    """(eval, pdf) in one masked dispatch (NEE hot path)."""
+    out_f = jnp.zeros_like(wi)
+    out_p = jnp.zeros(wi.shape[:-1])
+    for t in _base_types(static):
+        m = mp.btype == t
+        if t in (BSDF_DIFFUSE, BSDF_LAMBERTIAN):
+            albedo = _diffuse_albedo(static, scene, mp, uv, t == BSDF_LAMBERTIAN)
+            f = _diffuse_eval(albedo, wi, wo)
+            p = _diffuse_pdf(wi, wo)
+        elif t in (BSDF_MIRROR, BSDF_DIELECTRIC):
+            f = jnp.zeros_like(wi)
+            p = jnp.zeros(wi.shape[:-1])
+        elif t == BSDF_GGX:
+            f = _ggx_eval(static, scene, mp, uv, wi, wo)
+            p = _ggx_pdf(mp, wi, wo)
+        elif t == BSDF_ROUGHCONDUCTOR:
+            f = _roughconductor_eval(mp, wi, wo)
+            p = _roughconductor_pdf(mp, wi, wo)
+        elif t == BSDF_ROUGHPLASTIC:
+            f = _roughplastic_eval(mp, wi, wo)
+            p = _roughplastic_pdf(mp, wi, wo)
+        elif t == BSDF_ROUGHDIELECTRIC:
+            f = _roughdielectric_eval(mp, wi, wo)
+            p = _roughdielectric_pdf(mp, wi, wo)
+        elif t == BSDF_KISS:
+            f, p = _kiss_eval_pdf(static, scene, mp, uv, wi, wo, accum_rough)
+        else:
+            raise ValueError(f"unhandled btype {t}")
+        out_f = jnp.where(m[..., None], f, out_f)
+        out_p = jnp.where(m, p, out_p)
+    return out_f, out_p
 
 
 def sample_base(static, scene, mp, uv, wi, s1, s2, accum_rough) -> SampleResult:
@@ -647,6 +746,20 @@ def pdf_ctx(static, scene, ctx: ShadeCtx, wo, accum_rough):
     )
     bad = ctx.perturbed & (_cos(wo) * _cos(wo_p) <= 0.0)
     return jnp.where(bad, 0.0, val)
+
+
+def eval_pdf_ctx(static, scene, ctx: ShadeCtx, wo, accum_rough):
+    if BSDF_NORMALMAP not in static.btypes_present:
+        return eval_pdf_base(
+            static, scene, ctx.mp, ctx.uv, ctx.wi, wo, accum_rough
+        )
+    wo_p = ctx.pframe.to_local(ctx.sh_frame.to_world(wo))
+    wo_eff = jnp.where(ctx.perturbed[..., None], wo_p, wo)
+    f, p = eval_pdf_base(
+        static, scene, ctx.mp_eff, ctx.uv, ctx.wi_eff, wo_eff, accum_rough
+    )
+    bad = ctx.perturbed & (_cos(wo) * _cos(wo_p) <= 0.0)
+    return _mask3(~bad, f), jnp.where(bad, 0.0, p)
 
 
 def sample_ctx(static, scene, ctx: ShadeCtx, s1, s2, accum_rough) -> SampleResult:

@@ -58,7 +58,7 @@ def main():
         stream, aperture = streams.next_2d(spec, stream)
         rays = camera_mod.sample_ray(scene, static, pixel_sample, aperture)
         _, li, nrays = li_wavefront(scene, static, spec, stream, rays)
-        return film_mod.splat(static, film, pixel_sample, li), nrays
+        return film_mod.splat_grid(static, film, jitter, li), nrays
 
     run = jax.jit(one_pass)
     film = film_mod.make_film(static)

@@ -179,3 +179,25 @@ def test_texture_graph_nodes():
 
     img_out = np.asarray(render(arrays, static, spp=1))
     assert np.isfinite(img_out).all()
+
+
+def test_reference_scene_renders():
+    """Import + render an actual nano-kazen scene (kiss parameter sweep,
+    scene/2022_q1/parameters) through the full pipeline."""
+    import os
+
+    path = "/root/reference/scene/2022_q1/parameters/default_m0_r0.5.xml"
+    if not os.path.exists(path):
+        return
+    from kazen_tpu.scene.xml_io import load_xml
+    from kazen_tpu.integrate.render import render
+
+    scene = load_xml(path)
+    assert len(scene.meshes) == 5
+    scene.camera.width, scene.camera.height = 96, 54
+    arrays, static = compile_scene(scene)
+    assert int(arrays.F.shape[0]) > 30000
+    assert static.num_lights == 3
+    img = np.asarray(render(arrays, static, spp=2))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.1

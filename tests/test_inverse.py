@@ -58,3 +58,33 @@ def test_recover_light_intensity():
     got = np.asarray(res.params["light_radiance"])
     want = np.asarray(arrays.light_radiance) * 0.5
     np.testing.assert_allclose(got, want, rtol=0.12)
+
+
+def test_recover_background_color():
+    """Recover a constant env radiance through escape rays (config-5 style
+    env recovery)."""
+    import kazen_tpu.scene.description as D
+
+    scene = scenes.cornell_box(
+        width=12, height=12, spp=4, max_depth=3,
+        background=D.Background(texture=D.ConstantTexture((0.8, 0.4, 0.1))),
+    )
+    arrays, static = compile_scene(scene, use_bvh=False)
+    target = render(arrays, static, spp=4)
+    start = arrays._replace(bg_color=jnp.asarray([0.3, 0.3, 0.3]))
+    res = optimize(
+        start,
+        static,
+        target,
+        param_keys=("bg_color",),
+        steps=80,
+        learning_rate=0.1,
+        # render each step with the target's exact sample indices: the MC
+        # noise is then common to both sides and the L2 minimum sits at the
+        # true parameter (single-sample steps converge to a biased
+        # E[A]^2/(E[A^2]) multiple of it)
+        spp_per_step=4,
+        clip_to_unit=False,
+    )
+    got = np.asarray(res.params["bg_color"])
+    np.testing.assert_allclose(got, [0.8, 0.4, 0.1], atol=0.05)

@@ -176,29 +176,55 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
     )
     throughput = throughput * rr_scale[:, None]
 
-    # (3) NEE (integrator.cpp:247-294)
-    if static.num_lights > 0:
+    # (3) NEE (integrator.cpp:247-294). With env importance sampling on
+    # (opt-in, beyond reference) the environment joins the uniform light
+    # pick as one extra strategy; draw count/order is unchanged (the env
+    # reuses the two triangle-warp draws as its 2D sample).
+    do_env = static.env_importance and static.has_background
+    n_strat = static.num_lights + (1 if do_env else 0)
+    if n_strat > 0:
         stream, u_pick = streams.next_1d(spec, stream)
         stream, u_tri = streams.next_1d(spec, stream)
         stream, u_a = streams.next_1d(spec, stream)
         stream, u_b = streams.next_1d(spec, stream)
-        lidx = lights_mod.select_uniform(static.num_lights, u_pick)
-        ls = lights_mod.sample_area_light(scene, lidx, its.p, u_tri, u_a, u_b)
+        pick = lights_mod.select_uniform(n_strat, u_pick)
+        if static.num_lights > 0:
+            lidx = jnp.clip(pick, 0, static.num_lights - 1)
+            ls = lights_mod.sample_area_light(
+                scene, lidx, its.p, u_tri, u_a, u_b
+            )
+            nee_wi = ls.wi
+            nee_maxt = ls.dist - static.trace_bias
+            nee_ls = ls.ls
+            nee_pdf = ls.pdf
+        if do_env:
+            env = lights_mod.sample_env_light(scene, static, u_a, u_b)
+            if static.num_lights > 0:
+                is_env = pick == static.num_lights
+                nee_wi = jnp.where(is_env[:, None], env.wi, nee_wi)
+                nee_maxt = jnp.where(is_env, INF, nee_maxt)
+                nee_ls = jnp.where(is_env[:, None], env.ls, nee_ls)
+                nee_pdf = jnp.where(is_env, env.pdf, nee_pdf)
+            else:
+                nee_wi = env.wi
+                nee_maxt = jnp.full(env.pdf.shape, INF)
+                nee_ls = env.ls
+                nee_pdf = env.pdf
         # Ls / getLightPdf() (integrator.cpp:252)
-        ls_val = ls.ls * static.num_lights
+        ls_val = nee_ls * n_strat
 
         occluded = _occluded_with_stepthrough(
             scene,
             static,
             its.p,
-            ls.wi,
+            nee_wi,
             static.trace_bias,
-            ls.dist - static.trace_bias,
+            nee_maxt,
             alive,
         )
-        wo_local = its.sh_frame.to_local(ls.wi)
+        wo_local = its.sh_frame.to_local(nee_wi)
         f, pdf_b = bsdf_mod.eval_pdf_ctx(static, scene, ctx, wo_local, accum)
-        w_light = power_heuristic(ls.pdf, pdf_b)
+        w_light = power_heuristic(nee_pdf, pdf_b)
         contrib = throughput * ls_val * f * w_light[:, None]
         li = li + jnp.where((alive & ~occluded)[:, None], contrib, 0.0)
         n_shadow_rays = jnp.sum(alive.astype(jnp.float32))
@@ -240,7 +266,18 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
 
     missed = alive & ~hit.valid
     bg = lights_mod.background_radiance(scene, static, new_d)
-    li = li + jnp.where(missed[:, None], throughput * bg, 0.0)
+    if static.env_importance and static.has_background:
+        # MIS weight against the env NEE strategy (only exists when env
+        # importance sampling is on; reference escape weight is 1)
+        w_bg = power_heuristic(
+            bsdf_pdf, lights_mod.pdf_env_dir(scene, static, new_d)
+        )
+        w_bg = jnp.where(res.is_discrete, 1.0, w_bg)
+        li = li + jnp.where(
+            missed[:, None], throughput * bg * w_bg[:, None], 0.0
+        )
+    else:
+        li = li + jnp.where(missed[:, None], throughput * bg, 0.0)
     alive = alive & hit.valid
 
     # MIS weight for a light hit by the BSDF ray (integrator.cpp:320-331)

@@ -126,6 +126,12 @@ class SceneArrays(NamedTuple):
     focus_distance: jnp.ndarray  # ()
     # acceleration structure (accel/bvh.py); None = brute-force intersection
     bvh: Optional[object] = None
+    # environment importance tables (built when Background.importance; see
+    # _build_env_tables). Zeros-placeholders otherwise so the pytree shape
+    # is stable.
+    env_row_cdf: jnp.ndarray = None  # (Eh+1,) marginal CDF over rows
+    env_col_cdf: jnp.ndarray = None  # (Eh, Ew+1) conditional CDF per row
+    env_pdf: jnp.ndarray = None  # (Eh, Ew) solid-angle pdf per texel
 
 
 @dataclass(frozen=True)
@@ -154,6 +160,9 @@ class SceneStatic:
     rfilter_stddev: float
     rfilter_b: float
     rfilter_c: float
+    # env importance sampling (opt-in via Background.importance)
+    env_importance: bool = False
+    env_res: Tuple[int, int] = (0, 0)  # (Eh, Ew) of the importance tables
 
 
 def _load_mesh_arrays(m: D.Mesh):
@@ -421,6 +430,68 @@ class _MaterialBuilder:
         return MaterialTable(**cols)
 
 
+ENV_TABLE_RES = (256, 512)  # (Eh, Ew) lat-long importance-table resolution
+
+
+def _build_env_tables(pool, bg_tex, bg_color, bg_intensity, has_comp, has_img):
+    """Rasterize the background graph onto a lat-long luminance grid and
+    build row-marginal / per-row-conditional CDFs plus the solid-angle pdf
+    per texel (pbrt-style 2D distribution). The pdf gets a 1% uniform-
+    luminance floor so any texel the rasterization underestimates still has
+    nonzero sampling probability (keeps the estimator unbiased)."""
+    from ..shade.textures import eval_texture_dir
+
+    Eh, Ew = ENV_TABLE_RES
+    v = (np.arange(Eh) + 0.5) / Eh
+    u = (np.arange(Ew) + 0.5) / Ew
+    lat = ((v - 0.5) * np.pi).astype(np.float32)  # [-pi/2, pi/2]
+    phi = (u * 2.0 * np.pi - np.pi).astype(np.float32)
+    cos_lat = np.cos(lat)
+    y = np.broadcast_to(np.sin(lat)[:, None], (Eh, Ew))
+    x = cos_lat[:, None] * np.sin(phi)[None, :]
+    z = cos_lat[:, None] * np.cos(phi)[None, :]
+    dirs = np.stack([x, y, z], -1).reshape(-1, 3).astype(np.float32)
+
+    class _Shim:  # eval_texture_dir only reads these two statics
+        has_composite_textures = has_comp
+        has_image_textures = has_img
+
+    tid = jnp.full((dirs.shape[0],), int(bg_tex), jnp.int32)
+    cc = jnp.broadcast_to(
+        jnp.asarray(bg_color, jnp.float32), (dirs.shape[0], 3)
+    )
+    rad = np.asarray(
+        eval_texture_dir(_Shim, pool, tid, jnp.asarray(dirs), cc)
+    ) * float(bg_intensity)
+    lum = (
+        0.212671 * rad[:, 0] + 0.715160 * rad[:, 1] + 0.072169 * rad[:, 2]
+    ).reshape(Eh, Ew)
+    lum = np.maximum(lum, 0.0)
+    mean_lum = float(lum.mean())
+    if mean_lum <= 0.0:
+        lum = np.ones_like(lum)
+        mean_lum = 1.0
+    w = (lum + 0.01 * mean_lum) * cos_lat[:, None]  # dOmega ~ cos(lat) du dv
+    total = float(w.sum())
+    row_w = w.sum(axis=1)
+    row_cdf = np.zeros(Eh + 1, np.float64)
+    row_cdf[1:] = np.cumsum(row_w) / total
+    row_cdf[-1] = 1.0
+    col_cdf = np.zeros((Eh, Ew + 1), np.float64)
+    safe_row = np.where(row_w > 0.0, row_w, 1.0)
+    col_cdf[:, 1:] = np.cumsum(w, axis=1) / safe_row[:, None]
+    col_cdf[:, -1] = 1.0
+    # p(u,v) = w/total * Eh*Ew; dOmega = 2 pi^2 cos(lat) du dv
+    pdf = (w / total * (Eh * Ew)) / (
+        2.0 * np.pi * np.pi * np.maximum(cos_lat[:, None], 1e-6)
+    )
+    return (
+        jnp.asarray(row_cdf.astype(np.float32)),
+        jnp.asarray(col_cdf.astype(np.float32)),
+        jnp.asarray(pdf.astype(np.float32)),
+    )
+
+
 def compile_scene(
     scene: D.Scene, use_bvh: Optional[bool] = None
 ) -> Tuple[SceneArrays, SceneStatic]:
@@ -503,11 +574,13 @@ def compile_scene(
             bg_tex = packer.add_node(tex)
         bg_intensity = float(bg.intensity)
         has_bg = True
+        env_importance = bool(getattr(bg, "importance", False))
     else:
         bg_color = np.zeros(3, np.float32)
         bg_tex = -1
         bg_intensity = 1.0
         has_bg = False
+        env_importance = False
 
     cam = scene.camera
     sample_to_camera = _sample_to_camera_matrix(cam)
@@ -553,6 +626,20 @@ def compile_scene(
         axis=1,
     ).astype(np.float32) if len(F) else np.zeros((0, 24), np.float32)
 
+    tex_pool = packer.finish()
+    has_comp = any(t >= 2 for t in packer.ttypes)
+    has_img = any(t == TEX_IMAGE for t in packer.ttypes)
+    if env_importance:
+        env_row_cdf, env_col_cdf, env_pdf = _build_env_tables(
+            tex_pool, bg_tex, bg_color, bg_intensity, has_comp, has_img
+        )
+        env_res = ENV_TABLE_RES
+    else:
+        env_row_cdf = jnp.zeros(2, jnp.float32)
+        env_col_cdf = jnp.zeros((1, 2), jnp.float32)
+        env_pdf = jnp.zeros((1, 1), jnp.float32)
+        env_res = (0, 0)
+
     arrays = SceneArrays(
         V=jnp.asarray(V),
         F=jnp.asarray(F),
@@ -565,7 +652,7 @@ def compile_scene(
         mesh_has_normals=jnp.asarray(np.asarray(mesh_has_normals, bool)),
         mesh_has_uvs=jnp.asarray(np.asarray(mesh_has_uvs, bool)),
         materials=mats.finish(),
-        textures=packer.finish(),
+        textures=tex_pool,
         light_mesh=jnp.asarray(light_mesh),
         light_radiance=jnp.asarray(light_radiance),
         light_primary_vis=jnp.asarray(light_primary),
@@ -582,6 +669,9 @@ def compile_scene(
         aperture_radius=jnp.asarray(aperture, jnp.float32),
         focus_distance=jnp.asarray(focus, jnp.float32),
         bvh=bvh,
+        env_row_cdf=env_row_cdf,
+        env_col_cdf=env_col_cdf,
+        env_pdf=env_pdf,
     )
     static = SceneStatic(
         width=cam.width,
@@ -591,8 +681,8 @@ def compile_scene(
         num_materials=len(mats.rows),
         num_lights=L,
         btypes_present=tuple(sorted({int(r["btype"]) for r in mats.rows})),
-        has_composite_textures=any(t >= 2 for t in packer.ttypes),
-        has_image_textures=any(t == TEX_IMAGE for t in packer.ttypes),
+        has_composite_textures=has_comp,
+        has_image_textures=has_img,
         has_background=has_bg,
         sampler_kind=scene.sampler.kind,
         sample_count=scene.sampler.sample_count,
@@ -607,6 +697,8 @@ def compile_scene(
         rfilter_stddev=scene.rfilter.stddev,
         rfilter_b=scene.rfilter.b,
         rfilter_c=scene.rfilter.c,
+        env_importance=env_importance,
+        env_res=env_res,
     )
     return arrays, static
 

@@ -60,10 +60,19 @@ class Blend:
 
 @dataclass
 class Background:
-    """background (texture.cpp:104-145): intensity x nested texture."""
+    """background (texture.cpp:104-145): intensity x nested texture.
+
+    ``importance`` (beyond-reference, opt-in): importance-sample the
+    environment during NEE and MIS-weight escaped BSDF rays against the
+    env pdf. Off by default for stream/image parity with the reference
+    (which never samples the background; scene.cpp:54-79 evaluates it on
+    escape only). Turning it on changes only variance, not the expected
+    image.
+    """
 
     texture: "Texture" = None
     intensity: float = 1.0
+    importance: bool = False
 
 
 Texture = Union[ConstantTexture, ImageTexture, ColorRamp, Blend]

@@ -16,6 +16,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import math as km
 
@@ -96,6 +97,81 @@ def pdf_area_light(scene, light_idx, n, wi, dist):
     inv_area = scene.light_inv_area[light_idx]
     pdf = inv_area * km.sqr(dist) / jnp.maximum(cos_theta, 1e-9)
     return jnp.where(cos_theta > 0.0, pdf, 0.0)
+
+
+class EnvSample(NamedTuple):
+    wi: jnp.ndarray  # (N, 3) unit direction toward the environment
+    pdf: jnp.ndarray  # (N,) solid-angle pdf
+    radiance: jnp.ndarray  # (N, 3) env radiance along wi
+    ls: jnp.ndarray  # (N, 3) radiance / pdf (0 when pdf invalid)
+
+
+def _bisect_rows(cdf_2d, row, u, n):
+    """Per-lane bisect_right over ``cdf_2d[row]`` (n+1 entries): returns j
+    with cdf[j] <= u < cdf[j+1]. log2(n) scalar-step gathers instead of a
+    (N, n+1) row gather."""
+    lo = jnp.zeros_like(row)
+    hi = jnp.full_like(row, n)
+    for _ in range(int(np.ceil(np.log2(max(n, 2))))):
+        mid = (lo + hi) // 2
+        cm = cdf_2d[row, mid]
+        go_right = u >= cm
+        lo = jnp.where(go_right, mid, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
+def env_dir_to_uv(d):
+    """The lat-long mapping of eval_texture_dir (textures.py)."""
+    u = (jnp.arctan2(d[..., 0], d[..., 2]) + jnp.pi) * km.INV_TWOPI
+    v = (jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0)) + 0.5 * jnp.pi) * km.INV_PI
+    return u, v
+
+
+def sample_env_light(scene, static, u1, u2) -> EnvSample:
+    """Importance-sample the environment from the compile-time luminance
+    tables (compiler._build_env_tables): u1 inverts the row-marginal CDF,
+    u2 the per-row conditional, with continuous offsets inside the chosen
+    texel so directions cover the sphere densely."""
+    Eh, Ew = static.env_res
+    row_cdf = scene.env_row_cdf  # (Eh+1,)
+    col_cdf = scene.env_col_cdf  # (Eh, Ew+1)
+
+    i = jnp.clip(
+        jnp.searchsorted(row_cdf, u1, side="right") - 1, 0, Eh - 1
+    ).astype(jnp.int32)
+    seg = jnp.maximum(row_cdf[i + 1] - row_cdf[i], 1e-12)
+    dv = jnp.clip((u1 - row_cdf[i]) / seg, 0.0, 1.0)
+    v = (i.astype(jnp.float32) + dv) / Eh
+
+    j = _bisect_rows(col_cdf, i, u2, Ew).astype(jnp.int32)
+    segc = jnp.maximum(col_cdf[i, j + 1] - col_cdf[i, j], 1e-12)
+    du = jnp.clip((u2 - col_cdf[i, j]) / segc, 0.0, 1.0)
+    u = (j.astype(jnp.float32) + du) / Ew
+
+    phi = u * (2.0 * jnp.pi) - jnp.pi
+    lat = (v - 0.5) * jnp.pi
+    cos_lat = jnp.cos(lat)
+    wi = jnp.stack(
+        [cos_lat * jnp.sin(phi), jnp.sin(lat), cos_lat * jnp.cos(phi)], -1
+    )
+    pdf = scene.env_pdf[i, j]
+    radiance = background_radiance(scene, static, wi)
+    valid = pdf > 0.0
+    ls = jnp.where(
+        valid[:, None], radiance / jnp.maximum(pdf, 1e-12)[:, None], 0.0
+    )
+    return EnvSample(wi=wi, pdf=pdf, radiance=radiance, ls=ls)
+
+
+def pdf_env_dir(scene, static, d):
+    """Solid-angle pdf the env sampler assigns to direction ``d`` (for MIS
+    against BSDF sampling)."""
+    Eh, Ew = static.env_res
+    u, v = env_dir_to_uv(d)
+    i = jnp.clip((v * Eh).astype(jnp.int32), 0, Eh - 1)
+    j = jnp.clip((u * Ew).astype(jnp.int32), 0, Ew - 1)
+    return scene.env_pdf[i, j]
 
 
 def background_radiance(scene, static, d):

@@ -38,8 +38,7 @@ def main():
     from kazen_tpu.core import rng
     from kazen_tpu.film import film as film_mod
     from kazen_tpu.integrate import camera as camera_mod
-    from kazen_tpu.integrate.render import sampler_spec
-    from kazen_tpu.integrate.path_mis import li_wavefront
+    from kazen_tpu.integrate.render import li_fn_for, sampler_spec
     from kazen_tpu.samplers import streams
 
     width = int(os.environ.get("BENCH_WIDTH", 1920))
@@ -57,7 +56,9 @@ def main():
         pixel_sample = jnp.stack([px, py], -1).astype(jnp.float32) + jitter
         stream, aperture = streams.next_2d(spec, stream)
         rays = camera_mod.sample_ray(scene, static, pixel_sample, aperture)
-        _, li, nrays = li_wavefront(scene, static, spec, stream, rays)
+        # li_fn_for picks the Pallas megakernel fast path on TPU backends
+        # (integrate/megakernel.py) and the XLA wavefront otherwise
+        _, li, nrays = li_fn_for(static)(scene, static, spec, stream, rays)
         return film_mod.splat_grid(static, film, jitter, li), nrays
 
     run = jax.jit(one_pass)

@@ -22,6 +22,10 @@ from .path_mis import li_wavefront
 
 def li_fn_for(static):
     if static.integrator_kind == "path_mis":
+        if getattr(static, "use_megakernel", False):
+            from .megakernel import li_megakernel
+
+            return li_megakernel
         return li_wavefront
     from .simple import LI_FNS
 

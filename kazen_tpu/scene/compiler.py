@@ -14,6 +14,7 @@ import dataclasses
 from dataclasses import dataclass
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -132,6 +133,9 @@ class SceneArrays(NamedTuple):
     env_row_cdf: jnp.ndarray = None  # (Eh+1,) marginal CDF over rows
     env_col_cdf: jnp.ndarray = None  # (Eh, Ew+1) conditional CDF per row
     env_pdf: jnp.ndarray = None  # (Eh, Ew) solid-angle pdf per texel
+    # packed tables for the Pallas megakernel fast path (integrate/
+    # megakernel.py); None when the scene is outside its supported class
+    mega: Optional[object] = None
 
 
 @dataclass(frozen=True)
@@ -163,6 +167,11 @@ class SceneStatic:
     # env importance sampling (opt-in via Background.importance)
     env_importance: bool = False
     env_res: Tuple[int, int] = (0, 0)  # (Eh, Ew) of the importance tables
+    # Pallas megakernel fast path (integrate/megakernel.py): enabled at
+    # scene-compile time when the scene is in the supported class AND the
+    # backend is a TPU (CPU tests keep the reference XLA wavefront).
+    use_megakernel: bool = False
+    mega_cfg: Optional[Tuple] = None  # hashable static kernel config
 
 
 def _load_mesh_arrays(m: D.Mesh):
@@ -700,6 +709,25 @@ def compile_scene(
         env_importance=env_importance,
         env_res=env_res,
     )
+
+    # Megakernel fast path: pack tables when supported; turn it on by
+    # default only on TPU backends (KAZEN_MEGAKERNEL=0/1 overrides).
+    from ..integrate import megakernel as mk
+
+    if mk.supported(arrays, static):
+        import os
+
+        env = os.environ.get("KAZEN_MEGAKERNEL")
+        if env is not None:
+            enable = env not in ("0", "false", "")
+        else:
+            enable = jax.default_backend() not in ("cpu",)
+        arrays = arrays._replace(mega=mk.pack_tables(arrays, static))
+        static = dataclasses.replace(
+            static,
+            use_megakernel=enable,
+            mega_cfg=mk.cfg_key(arrays, static),
+        )
     return arrays, static
 
 

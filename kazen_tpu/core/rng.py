@@ -249,18 +249,24 @@ def permute(i, l, p):
         w = w | (w >> s)
 
     # do-while: always one round, then walk rejected lanes until accepted.
+    # The accept mask is carried as uint32 0/1 (not bool): this loop also
+    # runs inside Pallas kernels, and Mosaic cannot yield i1 vectors from
+    # scf.while state.
     first = _permute_hash_round(i, w, p)
-    ok = first < l
+    one = jnp.ones_like(first)
+    zero = jnp.zeros_like(first)
+    ok = jnp.where(first < l, one, zero)
 
     def cond(carry):
         _, ok = carry
-        return ~jnp.all(ok)
+        return ~jnp.all(ok > 0)
 
     def body(carry):
         cur, ok = carry
+        okb = ok > 0
         nxt = _permute_hash_round(cur, w, p)
-        new = jnp.where(ok, cur, nxt)
-        return new, ok | (nxt < l)
+        new = jnp.where(okb, cur, nxt)
+        return new, jnp.where(okb | (nxt < l), one, zero)
 
     out, _ = jax.lax.while_loop(cond, body, (first, ok))
     return (out + p) % l

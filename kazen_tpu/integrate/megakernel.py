@@ -13,7 +13,8 @@ the draw order matches path_mis._bounce exactly, so the image equals the
 wavefront's output lane-for-lane (up to float reassociation).
 
 Fast-path scene class (checked host-side by `supported()`):
-  * path_mis integrator, independent sampler
+  * path_mis integrator; independent / stratified / correlated samplers
+    (pmj02bn needs per-lane table gathers, which TPU vector units lack)
   * materials: diffuse / lambertian / mirror / dielectric / ggx / kiss with
     constant textures (no image/composite textures, no normalmap)
   * area lights (any count), constant-color background, no env importance
@@ -581,7 +582,7 @@ def supported(arrays, static) -> bool:
     """Host-side fast-path eligibility check (concrete scene arrays)."""
     if static.integrator_kind != "path_mis":
         return False
-    if static.sampler_kind != "independent":
+    if static.sampler_kind not in ("independent", "stratified", "correlated"):
         return False
     if getattr(static, "env_importance", False):
         return False
@@ -716,7 +717,8 @@ def pack_tables(arrays, static) -> MegaTables:
 
 def _make_kernel(cfg):
     """cfg: dict of static config (F, M, L, maxLF, max_depth, trace_bias,
-    regularization, acc_scale, btypes, needs_punch, has_background)."""
+    regularization, acc_scale, btypes, needs_punch, has_background,
+    sampler/n/res/seed)."""
     F = cfg["F"]
     M = cfg["M"]
     L = cfg["L"]
@@ -724,22 +726,96 @@ def _make_kernel(cfg):
     max_depth = cfg["max_depth"]
     trace_bias = cfg["trace_bias"]
     btypes = cfg["btypes"]
+    sampler_kind = cfg["sampler"]
+    samp_n = cfg["n"]
+    samp_res = cfg["res"]
+    samp_seed = cfg["seed"]
 
     def kernel(
-        o_ref, d_ref, pcg_ref, geo_ref, attr_ref, mats_ref, ltri_ref,
+        o_ref, d_ref, st_ref, geo_ref, attr_ref, mats_ref, ltri_ref,
         lcdf_ref, consts_ref, out_ref,
     ):
         ox, oy, oz = o_ref[0, :], o_ref[1, :], o_ref[2, :]
         dx, dy, dz = d_ref[0, :], d_ref[1, :], d_ref[2, :]
-        pcg = (
-            (pcg_ref[0, :], pcg_ref[1, :]),
-            (pcg_ref[2, :], pcg_ref[3, :]),
+        pcg0 = (
+            (st_ref[0, :], st_ref[1, :]),
+            (st_ref[2, :], st_ref[3, :]),
         )
+        dim0 = st_ref[4, :]
+        s_px = st_ref[5, :]
+        s_py = st_ref[6, :]
+        s_idx = st_ref[7, :]
+        pcg = (pcg0, dim0)  # stream = (pcg pair, dimension counter)
         zero = jnp.zeros_like(ox)
         one = jnp.ones_like(ox)
         fbool = zero > 1.0
 
         bg = (consts_ref[0, 0], consts_ref[0, 1], consts_ref[0, 2])
+
+        # -- per-lane sample streams (samplers/streams.py, in-kernel). The
+        # stream state is (pcg32, dim); draws replicate next_1d/next_2d for
+        # the independent/stratified/correlated samplers bit-for-bit.
+        U1 = jnp.uint32(1)
+
+        def _u2f(x):
+            # Mosaic has no u32->f32 cast; values here are < 2^31
+            return x.astype(jnp.int32).astype(jnp.float32)
+
+        def _h32(dim):
+            h = rng.hash_pixel_dim_seed_dyn(s_px, s_py, dim, samp_seed)
+            return h[1]
+
+        def draw_1d(st):
+            pcg, dim = st
+            if sampler_kind == "independent":
+                pcg, u = rng.pcg_next_float(pcg)
+                return (pcg, dim), u
+            if sampler_kind == "stratified":
+                stratum = rng.permute(s_idx, samp_n, _h32(dim))
+                pcg, delta = rng.pcg_next_float(pcg)
+                u = (_u2f(stratum) + delta) / samp_n
+                return (pcg, dim + U1), u
+            if sampler_kind == "correlated":
+                p = rng.permute(
+                    s_idx, samp_n, _h32(dim) * jnp.uint32(0x45FBE943)
+                )
+                pcg, j = rng.pcg_next_float(pcg)
+                u = (_u2f(p) + j) / samp_n
+                return (pcg, dim + U1), u
+            raise ValueError(sampler_kind)
+
+        def draw_2d(st):
+            pcg, dim = st
+            if sampler_kind == "independent":
+                pcg, u0 = rng.pcg_next_float(pcg)
+                pcg, u1 = rng.pcg_next_float(pcg)
+                return (pcg, dim), u0, u1
+            if sampler_kind == "stratified":
+                res = samp_res[0]
+                stratum = rng.permute(s_idx, samp_n, _h32(dim))
+                x = _u2f(stratum % jnp.uint32(res))
+                y = _u2f(stratum // jnp.uint32(res))
+                pcg, dxu = rng.pcg_next_float(pcg)
+                pcg, dyu = rng.pcg_next_float(pcg)
+                return (pcg, dim + jnp.uint32(2)), (x + dxu) / res, (y + dyu) / res
+            if sampler_kind == "correlated":
+                rx, ry = samp_res
+                h32 = _h32(dim)
+                s = rng.permute(s_idx, samp_n, h32 * jnp.uint32(0x51633E2D))
+                y = s // jnp.uint32(rx)
+                x = s % jnp.uint32(rx)
+                sx = _u2f(rng.permute(x, rx, h32 * jnp.uint32(0x68BC21EB)))
+                sy = _u2f(rng.permute(y, ry, h32 * jnp.uint32(0x02E5BE93)))
+                pcg, jx = rng.pcg_next_float(pcg)
+                pcg, jy = rng.pcg_next_float(pcg)
+                xf = _u2f(x)
+                yf = _u2f(y)
+                return (
+                    (pcg, dim + jnp.uint32(2)),
+                    (xf + (sy + jx) / ry) / rx,
+                    (yf + (sx + jy) / rx) / ry,
+                )
+            raise ValueError(sampler_kind)
 
         def mt_tri(o, d, g):
             """Moller-Trumbore vs one scalar triangle row (mesh.cpp:55-92)."""
@@ -987,7 +1063,7 @@ def _make_kernel(cfg):
 
             # (2) RR (integrator.cpp:237-244); consume only when depth>=3
             draw_rr = depth >= 3
-            pcg_rr, u_rr = rng.pcg_next_float(pcg)
+            pcg_rr, u_rr = draw_1d(pcg)
             pcg = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(draw_rr, a, b), pcg_rr, pcg
             )
@@ -1005,10 +1081,10 @@ def _make_kernel(cfg):
 
             # (3) NEE (integrator.cpp:247-294)
             if L > 0:
-                pcg, u_pick = rng.pcg_next_float(pcg)
-                pcg, u_tri = rng.pcg_next_float(pcg)
-                pcg, u_a = rng.pcg_next_float(pcg)
-                pcg, u_b = rng.pcg_next_float(pcg)
+                pcg, u_pick = draw_1d(pcg)
+                pcg, u_tri = draw_1d(pcg)
+                pcg, u_a = draw_1d(pcg)
+                pcg, u_b = draw_1d(pcg)
                 pick = jnp.clip(
                     jnp.floor(L * u_pick), 0.0, float(L - 1)
                 )
@@ -1106,9 +1182,8 @@ def _make_kernel(cfg):
                 )
 
             # (5) BSDF sample (integrator.cpp:303-309)
-            pcg, s1 = rng.pcg_next_float(pcg)
-            pcg, s2a = rng.pcg_next_float(pcg)
-            pcg, s2b = rng.pcg_next_float(pcg)
+            pcg, s1 = draw_1d(pcg)
+            pcg, s2a, s2b = draw_2d(pcg)
             wo, w, s_eta, disc, bsdf_pdf = _bsdf_sample(
                 btypes, mp, wi, s1, s2a, s2b, accum
             )
@@ -1212,7 +1287,7 @@ def _run(tables: MegaTables, o, d, pcg_packed, cfg_key, interpret=False):
         in_specs=[
             lane_spec(3),
             lane_spec(3),
-            lane_spec(4),
+            lane_spec(8),
             full_spec(tables.tri_geo),
             full_spec(tables.tri_attr),
             full_spec(tables.mats),
@@ -1251,6 +1326,20 @@ def cfg_key(arrays, static):
         ("btypes", tuple(sorted(static.btypes_present))),
         ("needs_punch", needs_punch),
         ("has_background", bool(static.has_background)),
+        ("sampler", static.sampler_kind),
+        ("n", _spec_for(static).effective_sample_count),
+        ("res", _spec_for(static).resolution),
+        ("seed", static.seed),
+    )
+
+
+def _spec_for(static):
+    from ..samplers.streams import SamplerSpec
+
+    return SamplerSpec(
+        kind=static.sampler_kind,
+        sample_count=static.sample_count,
+        seed=static.seed,
     )
 
 
@@ -1273,16 +1362,20 @@ def li_megakernel(scene, static, spec, stream, rays: Rays, interpret=None):
     o = jnp.pad(rays.o, ((0, pad), (0, 0))).T
     dd = jnp.pad(rays.d, ((0, pad), (0, 0)), constant_values=1.0).T
     (shi, slo), (ihi, ilo) = stream.pcg
-    pcg_packed = jnp.stack(
+    st_packed = jnp.stack(
         [
             jnp.pad(shi, (0, pad)),
             jnp.pad(slo, (0, pad)),
             jnp.pad(ihi, (0, pad), constant_values=1),
             jnp.pad(ilo, (0, pad), constant_values=1),
+            jnp.pad(stream.dim, (0, pad)),
+            jnp.pad(stream.px, (0, pad)),
+            jnp.pad(stream.py, (0, pad)),
+            jnp.pad(stream.sample_index, (0, pad)),
         ],
         0,
     )
-    out = _run(tables, o, dd, pcg_packed, key, interpret=interpret)
+    out = _run(tables, o, dd, st_packed, key, interpret=interpret)
     li = out[0:3, :n].T
     nrays = jnp.sum(out[3, :n])
     return stream, li, nrays

@@ -95,9 +95,25 @@ def test_megakernel_later_sample_index():
     _assert_match(li_ref, li_mk, nr_ref, nr_mk)
 
 
+def test_megakernel_stratified_sampler():
+    li_ref, li_mk, nr_ref, nr_mk = _li_pair(
+        cornell_box(width=16, height=16, spp=9, sampler="stratified"),
+        w=16, h=16, sample_index=2,
+    )
+    _assert_match(li_ref, li_mk, nr_ref, nr_mk)
+
+
+def test_megakernel_correlated_sampler():
+    li_ref, li_mk, nr_ref, nr_mk = _li_pair(
+        cornell_box(width=16, height=16, spp=8, sampler="correlated"),
+        w=16, h=16, sample_index=1,
+    )
+    _assert_match(li_ref, li_mk, nr_ref, nr_mk)
+
+
 def test_supported_gating():
-    arrays, static = compile_scene(cornell_box(sampler="stratified"))
-    assert not supported(arrays, static)
+    arrays, static = compile_scene(cornell_box(sampler="pmj02bn"))
+    assert not supported(arrays, static)  # pmj02bn needs per-lane gathers
     arrays, static = compile_scene(cornell_box())
     assert supported(arrays, static)
     # CPU test backend must keep the XLA wavefront as the default

@@ -18,9 +18,12 @@ Fast-path scene class (checked host-side by `supported()`):
   * materials: diffuse / lambertian / mirror / dielectric / ggx / kiss with
     constant textures (no image/composite textures, no normalmap)
   * area lights (any count), constant-color background, no env importance
-  * brute-force trace over <= MAX_BRUTE triangles (the per-program packet
-    BVH walk for big scenes lives in accel/pallas_traverse.py and is wired
-    in a later milestone)
+  * geometry up to a VMEM budget: tiny scenes (<= MAX_BRUTE triangles) use
+    an unrolled brute-force trace; larger scenes use an in-kernel packet
+    BVH walk (same escape-link layout as accel/bvh.py: a single scalar
+    cursor per ray block, vectorized slab + Moller-Trumbore over the
+    block, triangle rows pre-sorted into BVH prim order so leaf reads are
+    contiguous scalar-indexed VMEM rows)
 
 Everything else falls back to the XLA wavefront; both paths share the scene
 compiler and sampler state, so the choice is invisible to callers.
@@ -30,11 +33,15 @@ Reference semantics mirrored (citations into /root/reference):
   shading prep incl. Hanika offset), light.cpp:16-55 + mesh.cpp:108-133
   (area light sample/eval/pdf), bsdf.cpp:20-92/98-155/161-196/629-689/
   1157-1418 (diffuse/dielectric/mirror/ggx/kiss), ggx_brdf.h (GGX VNDF).
-One epsilon-level deviation: the shadow-ray step-through of primary-
+Epsilon-level deviations: (1) the shadow-ray step-through of primary-
 invisible lights (integrator.cpp:259-278) is computed as a single any-hit
 pass that ignores invisible-light faces, instead of iterated re-casts with
 a trace_bias offset past each skipped light; occluders hidden within
-trace_bias behind a skipped light differ.
+trace_bias behind a skipped light differ. (2) On the BVH path, triangle
+test ORDER follows leaf layout, so rays striking a shared edge (exact
+t-tie between two faces) may pick the other face than the wavefront's
+walk does; measured ~0.2% of lanes on a tessellated-sphere scene, zero
+bias (image means agree to ~2e-5).
 """
 from __future__ import annotations
 
@@ -56,12 +63,19 @@ from ..scene.compiler import (
     BSDF_LAMBERTIAN,
     BSDF_MIRROR,
 )
+from ..accel.bvh import LEAF_SIZE
 from ..accel.intersect import Rays
 
 BLOCK = 1024
 MAX_BRUTE = 128  # triangles; brute unrolled trace (static VMEM row reads)
 MAX_LIGHT_TRIS = 32  # total light triangles (sum over lights)
 MAX_MATERIALS = 16
+# VMEM budget for the scene tables (tris + BVH nodes). Rows are (.,64)/
+# (.,16) f32 and Mosaic tiles the minor dim to 128 lanes, so every row
+# costs 512 bytes of real VMEM regardless of its logical width.
+_ROW_BYTES = 512
+MEGA_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom of ~6MB for ray state
+A = 16  # attribute column offset inside a merged (64,) triangle row
 
 INV_PI = float(1.0 / np.pi)
 BIG = 3.0e38
@@ -423,7 +437,8 @@ def _kiss_sample(mp, wi, s1, s2a, s2b, accum):
     )
     w = tuple(jnp.where(ok & jnp.isfinite(c), c, 0.0) for c in w)
     eta = jnp.ones_like(s1)
-    disc = jnp.zeros_like(s1, bool)
+    # discrete-lobe flag carried as f32 0/1 (Mosaic cannot select i1 vectors)
+    disc = jnp.zeros_like(s1)
     return wo, w, eta, disc, pdf
 
 
@@ -470,7 +485,7 @@ def _bsdf_sample(btypes, mp, wi, s1, s2a, s2b, accum):
     out_wo = (zero, zero, zero)
     out_w = (zero, zero, zero)
     out_eta = one
-    out_disc = jnp.zeros_like(s1, bool)
+    out_disc = zero  # f32 0/1: Mosaic cannot select i1 vectors
     out_pdf = zero
     for t in btypes:
         sel = mp["btype"] == t
@@ -480,7 +495,7 @@ def _bsdf_sample(btypes, mp, wi, s1, s2a, s2b, accum):
             w = tuple(jnp.where(okd, mp["base"][i], 0.0) for i in range(3))
             pdf = jnp.where(okd & (wo[2] > 0.0), INV_PI * wo[2], 0.0)
             eta = one
-            disc = jnp.zeros_like(s1, bool)
+            disc = zero
         elif t == BSDF_MIRROR:
             wo = _reflect_local_z(wi)
             okm = wi[2] > 0.0
@@ -491,7 +506,7 @@ def _bsdf_sample(btypes, mp, wi, s1, s2a, s2b, accum):
             )
             pdf = zero
             eta = one
-            disc = jnp.ones_like(s1, bool)
+            disc = one
         elif t == BSDF_DIELECTRIC:
             cos_i = wi[2]
             fr = _fresnel(cos_i, mp["ext_ior"], mp["int_ior"])
@@ -524,7 +539,7 @@ def _bsdf_sample(btypes, mp, wi, s1, s2a, s2b, accum):
             eta = jnp.where(choose, 1.0, mp["int_ior"] / mp["ext_ior"])
             w = (one, one, one)
             pdf = zero
-            disc = jnp.ones_like(s1, bool)
+            disc = one
         elif t == BSDF_GGX:
             ax, ay = _r2a(mp["roughness"], mp["aniso"])
             h = _sample_vndf(wi, ax, ay, s2a, s2b)
@@ -547,7 +562,7 @@ def _bsdf_sample(btypes, mp, wi, s1, s2a, s2b, accum):
                 for i in range(3)
             )
             eta = one
-            disc = jnp.zeros_like(s1, bool)
+            disc = zero
         elif t == BSDF_KISS:
             wo, w, eta, disc, pdf = _kiss_sample(mp, wi, s1, s2a, s2b, accum)
         else:
@@ -566,9 +581,14 @@ def _bsdf_sample(btypes, mp, wi, s1, s2a, s2b, accum):
 
 
 class MegaTables(NamedTuple):
-    tri_geo: jnp.ndarray  # (F, 16): p0, e1, e2, mat, light, light_pv,
-    #                       has_n, has_uv, light_inv_area, pad
-    tri_attr: jnp.ndarray  # (F, 32): n0 n1 n2 uv0 uv1 uv2 radiance pad
+    tris: jnp.ndarray  # (Fp, 64) merged triangle rows, BVH prim order when
+    #   the scene uses the in-kernel walk (face order otherwise):
+    #   [0:3] p0, [3:6] e1, [6:9] e2, [9] mat, [10] light, [11] light_pv,
+    #   [12] has_n, [13] has_uv, [14] light_inv_area,
+    #   [A+0:A+9] n0 n1 n2, [A+9:A+15] uv0 uv1 uv2, [A+15:A+18] radiance
+    nodes: jnp.ndarray  # (Mp, 16) flattened BVH (escape-link layout):
+    #   [0:3] bounds_min, [3:6] bounds_max, [6] skip, [7] prim_count,
+    #   [8] prim_offset; dummy (8, 16) zeros for brute-force scenes
     mats: jnp.ndarray  # (M, 16): btype base metallic roughness aniso
     #                    specular spec_tint clearcoat cc_rough sheen
     #                    sheen_tint int_ior ext_ior pad
@@ -590,8 +610,18 @@ def supported(arrays, static) -> bool:
         return False
     if any(t not in _SUPPORTED_BTYPES for t in static.btypes_present):
         return False
-    if int(arrays.F.shape[0]) > MAX_BRUTE:
-        return False
+    nf = int(arrays.F.shape[0])
+    if nf > MAX_BRUTE:
+        # in-kernel BVH walk: needs the compile-time BVH and the packed
+        # tables (tris + nodes, 512B/row tiled) must fit the VMEM budget
+        if arrays.bvh is None:
+            return False
+        from ..accel.bvh import LEAF_SIZE
+
+        m = int(arrays.bvh.bounds_min.shape[0])
+        rows = (nf + LEAF_SIZE + 8) + (m + 8)
+        if rows * _ROW_BYTES > MEGA_VMEM_BUDGET:
+            return False
     if static.num_materials > MAX_MATERIALS:
         return False
     if static.num_lights > 0:
@@ -619,33 +649,64 @@ def pack_tables(arrays, static) -> MegaTables:
     has_uv = np.asarray(arrays.mesh_has_uvs)
     nf = F.shape[0]
 
-    geo = np.zeros((nf, 16), np.float32)
-    attr = np.zeros((nf, 32), np.float32)
+    tris = np.zeros((nf, 64), np.float32)
     p0 = face_shade[:, 0:3]
     p1 = face_shade[:, 3:6]
     p2 = face_shade[:, 6:9]
-    geo[:, 0:3] = p0
-    geo[:, 3:6] = p1 - p0
-    geo[:, 6:9] = p2 - p0
+    tris[:, 0:3] = p0
+    tris[:, 3:6] = p1 - p0
+    tris[:, 6:9] = p2 - p0
     fm = face_mesh
-    geo[:, 9] = mesh_mat[fm].astype(np.float32)
+    tris[:, 9] = mesh_mat[fm].astype(np.float32)
     lid = mesh_light[fm]
-    geo[:, 10] = lid.astype(np.float32)
+    tris[:, 10] = lid.astype(np.float32)
     if static.num_lights > 0:
         lpv = np.asarray(arrays.light_primary_vis)
         inv_area = np.asarray(arrays.light_inv_area, np.float32)
-        geo[:, 11] = np.where(lid >= 0, lpv[np.maximum(lid, 0)], 0).astype(
+        tris[:, 11] = np.where(lid >= 0, lpv[np.maximum(lid, 0)], 0).astype(
             np.float32
         )
-        geo[:, 14] = np.where(lid >= 0, inv_area[np.maximum(lid, 0)], 0.0)
+        tris[:, 14] = np.where(lid >= 0, inv_area[np.maximum(lid, 0)], 0.0)
         rad = np.asarray(arrays.light_radiance, np.float32)
-        attr[:, 15:18] = np.where(
+        tris[:, A + 15:A + 18] = np.where(
             (lid >= 0)[:, None], rad[np.maximum(lid, 0)], 0.0
         )
-    geo[:, 12] = has_n[fm].astype(np.float32)
-    geo[:, 13] = has_uv[fm].astype(np.float32)
-    attr[:, 0:9] = face_shade[:, 9:18]  # n0 n1 n2
-    attr[:, 9:15] = face_shade[:, 18:24]  # uv0 uv1 uv2
+    tris[:, 12] = has_n[fm].astype(np.float32)
+    tris[:, 13] = has_uv[fm].astype(np.float32)
+    tris[:, A + 0:A + 9] = face_shade[:, 9:18]  # n0 n1 n2
+    tris[:, A + 9:A + 15] = face_shade[:, 18:24]  # uv0 uv1 uv2
+
+    if nf > MAX_BRUTE:
+        # in-kernel packet BVH walk: reorder triangle rows into BVH prim
+        # order (leaf reads become contiguous scalar-indexed rows) and pack
+        # the flattened node table. Pad rows so prim_offset+k stays in range
+        # and row counts are sublane (8) multiples.
+        from ..accel.bvh import LEAF_SIZE, build_bvh
+
+        bvh = arrays.bvh
+        if bvh is None:
+            bvh = build_bvh(np.asarray(arrays.V), F)
+        perm = np.asarray(bvh.prim_faces)
+        tris = tris[perm]
+        rpad = (-(nf + LEAF_SIZE)) % 8 + LEAF_SIZE
+        tris = np.concatenate([tris, np.zeros((rpad, 64), np.float32)])
+        mn = int(bvh.bounds_min.shape[0])
+        mpad = (-mn) % 8
+        nodes = np.zeros((mn + mpad, 16), np.float32)
+        nodes[:mn, 0:3] = np.asarray(bvh.bounds_min)
+        nodes[:mn, 3:6] = np.asarray(bvh.bounds_max)
+        nodes[:mn, 6] = np.asarray(bvh.skip).astype(np.float32)
+        nodes[:mn, 7] = np.asarray(bvh.prim_count).astype(np.float32)
+        nodes[:mn, 8] = np.asarray(bvh.prim_offset).astype(np.float32)
+        if mpad:
+            # inverted boxes are never hit; their skip exits the walk. The
+            # real exit index is mn, which lands on the first pad row for
+            # one extra (no-op) iteration before the cursor reaches the end.
+            nodes[mn:, 0:3] = BIG
+            nodes[mn:, 3:6] = -BIG
+            nodes[mn:, 6] = float(mn + mpad)
+    else:
+        nodes = np.zeros((8, 16), np.float32)
 
     mt = arrays.materials
     M = int(np.asarray(mt.btype).shape[0])
@@ -701,8 +762,8 @@ def pack_tables(arrays, static) -> MegaTables:
         )
 
     return MegaTables(
-        tri_geo=jnp.asarray(geo),
-        tri_attr=jnp.asarray(attr),
+        tris=jnp.asarray(tris),
+        nodes=jnp.asarray(nodes),
         mats=jnp.asarray(mats),
         light_tris=jnp.asarray(ltris),
         light_cdf=jnp.asarray(lcdf),
@@ -731,8 +792,10 @@ def _make_kernel(cfg):
     samp_res = cfg["res"]
     samp_seed = cfg["seed"]
 
+    use_bvh = F > MAX_BRUTE
+
     def kernel(
-        o_ref, d_ref, st_ref, geo_ref, attr_ref, mats_ref, ltri_ref,
+        o_ref, d_ref, st_ref, tris_ref, nodes_ref, mats_ref, ltri_ref,
         lcdf_ref, consts_ref, out_ref,
     ):
         ox, oy, oz = o_ref[0, :], o_ref[1, :], o_ref[2, :]
@@ -834,9 +897,8 @@ def _make_kernel(cfg):
             ok = ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
             return t, u, v, ok
 
-        def trace(o, d, mint):
-            """Nearest-hit over all triangles with attribute select."""
-            best = dict(
+        def _init_best(o):
+            return dict(
                 # ``found`` is carried as f32 0/1: Mosaic cannot select on
                 # i1 vectors through the punch-through hit merge
                 t=jnp.full_like(o[0], BIG), u=zero, v=zero, found=zero,
@@ -848,49 +910,188 @@ def _make_kernel(cfg):
                 mat=zero, light=-one, light_pv=zero, has_n=zero,
                 has_uv=zero, inv_area=zero, rad=(zero, zero, zero),
             )
-            for k in range(F):
-                g = geo_ref[k, :]
-                t, u, v, ok = mt_tri(o, d, g)
-                ok = ok & (t >= mint) & (t < best["t"])
-                a = attr_ref[k, :]
 
-                def sel(s, b):
-                    return jnp.where(ok, s, b)
+        def _merge_hit(best, ok, t, u, v, g):
+            """Fold one tested triangle row into the running best hit."""
 
-                best = dict(
-                    t=sel(t, best["t"]), u=sel(u, best["u"]),
-                    v=sel(v, best["v"]),
-                    found=jnp.where(ok, 1.0, best["found"]),
-                    p0=tuple(sel(g[i], best["p0"][i]) for i in range(3)),
-                    e1=tuple(sel(g[3 + i], best["e1"][i]) for i in range(3)),
-                    e2=tuple(sel(g[6 + i], best["e2"][i]) for i in range(3)),
-                    n0=tuple(sel(a[i], best["n0"][i]) for i in range(3)),
-                    n1=tuple(sel(a[3 + i], best["n1"][i]) for i in range(3)),
-                    n2=tuple(sel(a[6 + i], best["n2"][i]) for i in range(3)),
-                    uv0=tuple(sel(a[9 + i], best["uv0"][i]) for i in range(2)),
-                    uv1=tuple(sel(a[11 + i], best["uv1"][i]) for i in range(2)),
-                    uv2=tuple(sel(a[13 + i], best["uv2"][i]) for i in range(2)),
-                    mat=sel(g[9], best["mat"]),
-                    light=sel(g[10], best["light"]),
-                    light_pv=sel(g[11], best["light_pv"]),
-                    has_n=sel(g[12], best["has_n"]),
-                    has_uv=sel(g[13], best["has_uv"]),
-                    inv_area=sel(g[14], best["inv_area"]),
-                    rad=tuple(sel(a[15 + i], best["rad"][i]) for i in range(3)),
+            def sel(s, b):
+                return jnp.where(ok, s, b)
+
+            return dict(
+                t=sel(t, best["t"]), u=sel(u, best["u"]),
+                v=sel(v, best["v"]),
+                found=jnp.where(ok, 1.0, best["found"]),
+                p0=tuple(sel(g[i], best["p0"][i]) for i in range(3)),
+                e1=tuple(sel(g[3 + i], best["e1"][i]) for i in range(3)),
+                e2=tuple(sel(g[6 + i], best["e2"][i]) for i in range(3)),
+                n0=tuple(sel(g[A + i], best["n0"][i]) for i in range(3)),
+                n1=tuple(sel(g[A + 3 + i], best["n1"][i]) for i in range(3)),
+                n2=tuple(sel(g[A + 6 + i], best["n2"][i]) for i in range(3)),
+                uv0=tuple(sel(g[A + 9 + i], best["uv0"][i]) for i in range(2)),
+                uv1=tuple(sel(g[A + 11 + i], best["uv1"][i]) for i in range(2)),
+                uv2=tuple(sel(g[A + 13 + i], best["uv2"][i]) for i in range(2)),
+                mat=sel(g[9], best["mat"]),
+                light=sel(g[10], best["light"]),
+                light_pv=sel(g[11], best["light_pv"]),
+                has_n=sel(g[12], best["has_n"]),
+                has_uv=sel(g[13], best["has_uv"]),
+                inv_area=sel(g[14], best["inv_area"]),
+                rad=tuple(sel(g[A + 15 + i], best["rad"][i]) for i in range(3)),
+            )
+
+        def _inv_dir(d):
+            tiny = 1e-20
+            return tuple(
+                1.0 / jnp.where(jnp.abs(c) < tiny, tiny, c) for c in d
+            )
+
+        def _slab(node, o, inv, mint, maxt):
+            """Packet AABB slab test vs one scalar node row."""
+            tx0 = (node[0] - o[0]) * inv[0]
+            tx1 = (node[3] - o[0]) * inv[0]
+            ty0 = (node[1] - o[1]) * inv[1]
+            ty1 = (node[4] - o[1]) * inv[1]
+            tz0 = (node[2] - o[2]) * inv[2]
+            tz1 = (node[5] - o[2]) * inv[2]
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            return (tnear <= tfar) & (tfar >= mint) & (tnear <= maxt)
+
+        if use_bvh:
+
+            def trace(o, d, mint):
+                """Nearest-hit packet BVH walk (accel/bvh.py layout): one
+                scalar cursor per block; the block descends when ANY lane
+                hits the node box, pruning with the per-lane best t."""
+                inv = _inv_dir(d)
+                n_nodes = nodes_ref.shape[0]
+
+                def body(state):
+                    cursor, best = state
+                    node = nodes_ref[cursor, :]
+                    hit_box = _slab(node, o, inv, mint, best["t"])
+                    any_hit = jnp.any(hit_box)
+                    prim_count = node[7].astype(jnp.int32)
+                    prim_offset = node[8].astype(jnp.int32)
+                    is_leaf = prim_count > 0
+
+                    def leaf_tests(best):
+                        for k in range(LEAF_SIZE):
+                            g = tris_ref[prim_offset + k, :]
+                            t, u, v, ok = mt_tri(o, d, g)
+                            ok = (
+                                ok
+                                & (k < prim_count)
+                                & hit_box
+                                & (t >= mint)
+                                & (t < best["t"])
+                            )
+                            best = _merge_hit(best, ok, t, u, v, g)
+                        return best
+
+                    best = jax.lax.cond(
+                        any_hit & is_leaf, leaf_tests, lambda b: b, best
+                    )
+                    nxt = jnp.where(
+                        any_hit & jnp.logical_not(is_leaf),
+                        cursor + 1,
+                        node[6].astype(jnp.int32),
+                    )
+                    return nxt, best
+
+                _, best = jax.lax.while_loop(
+                    lambda s: s[0] < n_nodes,
+                    body,
+                    (jnp.int32(0), _init_best(o)),
                 )
-            return best
+                return best
 
-        def occluded(o, d, mint, maxt):
-            """Any-hit; primary-invisible lights do not block (the
-            step-through semantics of integrator.cpp:259-278)."""
-            blocked = fbool
-            for k in range(F):
-                g = geo_ref[k, :]
-                t, _, _, ok = mt_tri(o, d, g)
-                ok = ok & (t >= mint) & (t <= maxt)
-                is_invisible_light = (g[10] >= 0.0) & (g[11] == 0.0)
-                blocked = blocked | (ok & jnp.logical_not(is_invisible_light))
-            return blocked
+            def occluded(o, d, mint, maxt):
+                """Any-hit packet walk; primary-invisible lights do not
+                block (step-through, integrator.cpp:259-278). Exits early
+                once every lane is blocked."""
+                inv = _inv_dir(d)
+                n_nodes = nodes_ref.shape[0]
+
+                def body(state):
+                    cursor, blocked_f = state
+                    node = nodes_ref[cursor, :]
+                    hit_box = _slab(node, o, inv, mint, maxt) & (
+                        blocked_f == 0.0
+                    )
+                    any_hit = jnp.any(hit_box)
+                    prim_count = node[7].astype(jnp.int32)
+                    prim_offset = node[8].astype(jnp.int32)
+                    is_leaf = prim_count > 0
+
+                    def leaf_tests(blocked_f):
+                        for k in range(LEAF_SIZE):
+                            g = tris_ref[prim_offset + k, :]
+                            t, _, _, ok = mt_tri(o, d, g)
+                            ok = (
+                                ok
+                                & (k < prim_count)
+                                & hit_box
+                                & (t >= mint)
+                                & (t <= maxt)
+                            )
+                            inv_light = (g[10] >= 0.0) & (g[11] == 0.0)
+                            blocked_f = jnp.where(
+                                ok & jnp.logical_not(inv_light),
+                                1.0,
+                                blocked_f,
+                            )
+                        return blocked_f
+
+                    blocked_f = jax.lax.cond(
+                        any_hit & is_leaf, leaf_tests, lambda b: b, blocked_f
+                    )
+                    nxt = jnp.where(
+                        any_hit & jnp.logical_not(is_leaf),
+                        cursor + 1,
+                        node[6].astype(jnp.int32),
+                    )
+                    return nxt, blocked_f
+
+                _, blocked_f = jax.lax.while_loop(
+                    lambda s: (s[0] < n_nodes)
+                    & jnp.logical_not(jnp.all(s[1] > 0.0)),
+                    body,
+                    (jnp.int32(0), zero),
+                )
+                return blocked_f > 0.0
+
+        else:
+
+            def trace(o, d, mint):
+                """Nearest-hit over all triangles, unrolled (tiny scenes)."""
+                best = _init_best(o)
+                for k in range(F):
+                    g = tris_ref[k, :]
+                    t, u, v, ok = mt_tri(o, d, g)
+                    ok = ok & (t >= mint) & (t < best["t"])
+                    best = _merge_hit(best, ok, t, u, v, g)
+                return best
+
+            def occluded(o, d, mint, maxt):
+                """Any-hit; primary-invisible lights do not block (the
+                step-through semantics of integrator.cpp:259-278)."""
+                blocked = fbool
+                for k in range(F):
+                    g = tris_ref[k, :]
+                    t, _, _, ok = mt_tri(o, d, g)
+                    ok = ok & (t >= mint) & (t <= maxt)
+                    is_invisible_light = (g[10] >= 0.0) & (g[11] == 0.0)
+                    blocked = blocked | (
+                        ok & jnp.logical_not(is_invisible_light)
+                    )
+                return blocked
 
         def prep(hit):
             """Post-hit shading prep (accel.cpp:113-236), SoA."""
@@ -1228,7 +1429,7 @@ def _make_kernel(cfg):
                 _power_heuristic(bsdf_pdf, lpdf_next),
                 bsdf_weight,
             )
-            new_bw = jnp.where(disc, 1.0, new_bw)
+            new_bw = jnp.where(disc > 0.0, 1.0, new_bw)
 
             def keep(new, old):
                 return jnp.where(alive, new, old)
@@ -1288,8 +1489,8 @@ def _run(tables: MegaTables, o, d, pcg_packed, cfg_key, interpret=False):
             lane_spec(3),
             lane_spec(3),
             lane_spec(8),
-            full_spec(tables.tri_geo),
-            full_spec(tables.tri_attr),
+            full_spec(tables.tris),
+            full_spec(tables.nodes),
             full_spec(tables.mats),
             full_spec(tables.light_tris),
             full_spec(tables.light_cdf),
@@ -1300,7 +1501,7 @@ def _run(tables: MegaTables, o, d, pcg_packed, cfg_key, interpret=False):
         interpret=interpret,
     )(
         o, d, pcg_packed,
-        tables.tri_geo, tables.tri_attr, tables.mats,
+        tables.tris, tables.nodes, tables.mats,
         tables.light_tris, tables.light_cdf, tables.consts,
     )
     return out

@@ -27,6 +27,37 @@ def make_mesh(corner, eu, ev, bsdf=None, light=None, flip=False):
     return D.Mesh(vertices=v, faces=f, normals=n, uvs=uv, bsdf=bsdf, light=light)
 
 
+def sphere_mesh(center, radius, nu=12, nv=12, bsdf=None, light=None):
+    """Lat-long tessellated sphere: 2*nu*nv triangles, smooth normals+uvs."""
+    c = np.asarray(center, np.float32)
+    us = np.linspace(0.0, 2.0 * np.pi, nu + 1, dtype=np.float32)
+    vs = np.linspace(0.0, np.pi, nv + 1, dtype=np.float32)
+    uu, vv = np.meshgrid(us, vs, indexing="ij")  # (nu+1, nv+1)
+    nx = np.sin(vv) * np.cos(uu)
+    ny = np.cos(vv)
+    nz = np.sin(vv) * np.sin(uu)
+    normals = np.stack([nx, ny, nz], -1).reshape(-1, 3).astype(np.float32)
+    verts = (c + radius * normals).astype(np.float32)
+    uvs = np.stack(
+        [uu / (2.0 * np.pi), vv / np.pi], -1
+    ).reshape(-1, 2).astype(np.float32)
+
+    def vid(i, j):
+        return i * (nv + 1) + j
+
+    faces = []
+    for i in range(nu):
+        for j in range(nv):
+            a, b_, cc, dd = vid(i, j), vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)
+            faces.append([a, b_, cc])
+            faces.append([a, cc, dd])
+    faces = np.asarray(faces, np.int32)
+    return D.Mesh(
+        vertices=verts, faces=faces, normals=normals, uvs=uvs,
+        bsdf=bsdf, light=light,
+    )
+
+
 def cornell_box(
     width=32,
     height=32,

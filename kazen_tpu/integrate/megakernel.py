@@ -63,7 +63,6 @@ from ..scene.compiler import (
     BSDF_LAMBERTIAN,
     BSDF_MIRROR,
 )
-from ..accel.bvh import LEAF_SIZE
 from ..accel.intersect import Rays
 
 BLOCK = 1024
@@ -76,6 +75,11 @@ MAX_MATERIALS = 16
 _ROW_BYTES = 512
 MEGA_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom of ~6MB for ray state
 A = 16  # attribute column offset inside a merged (64,) triangle row
+# Megakernel BVH leaf size. Fatter than accel/bvh.py's default 4: a fully
+# divergent 1024-ray packet descends almost every subtree, so the walk cost
+# is ~(nodes * slab + tested_prims * MT); fewer, fatter leaves trade a few
+# extra (vectorized, cheap) MT tests for far fewer (scalar-fetch) node steps.
+MEGA_LEAF = 8
 
 INV_PI = float(1.0 / np.pi)
 BIG = 3.0e38
@@ -616,10 +620,10 @@ def supported(arrays, static) -> bool:
         # tables (tris + nodes, 512B/row tiled) must fit the VMEM budget
         if arrays.bvh is None:
             return False
-        from ..accel.bvh import LEAF_SIZE
-
+        # conservative row estimate from the (finer, leaf-4) render BVH;
+        # pack_tables rebuilds at MEGA_LEAF which only shrinks the node count
         m = int(arrays.bvh.bounds_min.shape[0])
-        rows = (nf + LEAF_SIZE + 8) + (m + 8)
+        rows = (nf + MEGA_LEAF + 8) + (m + 8)
         if rows * _ROW_BYTES > MEGA_VMEM_BUDGET:
             return False
     if static.num_materials > MAX_MATERIALS:
@@ -681,14 +685,12 @@ def pack_tables(arrays, static) -> MegaTables:
         # order (leaf reads become contiguous scalar-indexed rows) and pack
         # the flattened node table. Pad rows so prim_offset+k stays in range
         # and row counts are sublane (8) multiples.
-        from ..accel.bvh import LEAF_SIZE, build_bvh
+        from ..accel.bvh import build_bvh
 
-        bvh = arrays.bvh
-        if bvh is None:
-            bvh = build_bvh(np.asarray(arrays.V), F)
+        bvh = build_bvh(np.asarray(arrays.V), F, leaf_size=MEGA_LEAF)
         perm = np.asarray(bvh.prim_faces)
         tris = tris[perm]
-        rpad = (-(nf + LEAF_SIZE)) % 8 + LEAF_SIZE
+        rpad = (-(nf + MEGA_LEAF)) % 8 + MEGA_LEAF
         tris = np.concatenate([tris, np.zeros((rpad, 64), np.float32)])
         mn = int(bvh.bounds_min.shape[0])
         mpad = (-mn) % 8
@@ -982,7 +984,7 @@ def _make_kernel(cfg):
                     is_leaf = prim_count > 0
 
                     def leaf_tests(best):
-                        for k in range(LEAF_SIZE):
+                        for k in range(MEGA_LEAF):
                             g = tris_ref[prim_offset + k, :]
                             t, u, v, ok = mt_tri(o, d, g)
                             ok = (
@@ -1031,7 +1033,7 @@ def _make_kernel(cfg):
                     is_leaf = prim_count > 0
 
                     def leaf_tests(blocked_f):
-                        for k in range(LEAF_SIZE):
+                        for k in range(MEGA_LEAF):
                             g = tris_ref[prim_offset + k, :]
                             t, _, _, ok = mt_tri(o, d, g)
                             ok = (

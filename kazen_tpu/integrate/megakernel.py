@@ -1509,6 +1509,66 @@ def _run(tables: MegaTables, o, d, pcg_packed, cfg_key, interpret=False):
     return out
 
 
+class _ShimRef:
+    """Array-as-Ref adapter: runs the kernel function as plain traced JAX.
+
+    The kernel body is pure jnp/lax over ``pl.Ref`` reads/writes, so it can
+    execute outside Pallas entirely: reads become (dynamic) array indexing,
+    writes collect output rows. This is the CPU test path -- it compiles in
+    seconds where the Pallas interpreter takes minutes -- and it shares every
+    line of kernel math with the Mosaic build, so parity tests cover the
+    integrator logic (Mosaic lowering itself is exercised on TPU by the bench
+    and the TPU-marked tests)."""
+
+    def __init__(self, a=None, shape=None):
+        self.a = a
+        self.rows = {} if a is None else None
+        self._shape = shape if shape is not None else a.shape
+
+    @property
+    def shape(self):
+        return self._shape
+
+    def __getitem__(self, idx):
+        return self.a[idx]
+
+    def __setitem__(self, idx, val):
+        # the kernel writes whole rows: out_ref[i, :] = v
+        row, col = idx
+        assert col == slice(None)
+        self.rows[int(row)] = val
+
+    def stacked(self):
+        return jnp.stack([self.rows[i] for i in range(len(self.rows))])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg_key",))
+def _run_shim(tables: MegaTables, o, d, pcg_packed, cfg_key):
+    """Same contract as _run, without pallas_call (see _ShimRef)."""
+    cfg = dict(cfg_key)
+    cfg["btypes"] = tuple(cfg["btypes"])
+    kernel = _make_kernel(cfg)
+    n = o.shape[1]
+    grid = n // BLOCK
+
+    def one_block(ob, db, stb):
+        out = _ShimRef(shape=(4, BLOCK))
+        kernel(
+            _ShimRef(ob), _ShimRef(db), _ShimRef(stb),
+            _ShimRef(tables.tris), _ShimRef(tables.nodes),
+            _ShimRef(tables.mats), _ShimRef(tables.light_tris),
+            _ShimRef(tables.light_cdf), _ShimRef(tables.consts),
+            out,
+        )
+        return out.stacked()
+
+    ob = o.reshape(3, grid, BLOCK)
+    db = d.reshape(3, grid, BLOCK)
+    stb = pcg_packed.reshape(pcg_packed.shape[0], grid, BLOCK)
+    outs = jax.vmap(one_block, in_axes=(1, 1, 1), out_axes=1)(ob, db, stb)
+    return outs.reshape(4, n)
+
+
 def cfg_key(arrays, static):
     """Hashable static kernel config (host-side: reads concrete arrays)."""
     F = int(arrays.F.shape[0])
@@ -1550,6 +1610,10 @@ def li_megakernel(scene, static, spec, stream, rays: Rays, interpret=None):
     """Drop-in for li_wavefront on supported scenes: returns
     (stream, li, nrays). ``scene`` must carry precompiled ``mega`` tables
     (set by the scene compiler) or they are packed on the fly (host sync!).
+
+    interpret: False = Mosaic (TPU), True = Pallas interpreter, "shim" =
+    run the kernel function as plain JAX (fast CPU parity path, _ShimRef).
+    None = Mosaic on TPU, shim elsewhere.
     """
     tables = getattr(scene, "mega", None)
     if tables is None:
@@ -1558,7 +1622,7 @@ def li_megakernel(scene, static, spec, stream, rays: Rays, interpret=None):
     if key is None:
         key = cfg_key(scene, static)  # host sync: not under jit
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = "shim" if jax.default_backend() == "cpu" else False
 
     n = rays.o.shape[0]
     pad = (-n) % BLOCK
@@ -1578,7 +1642,10 @@ def li_megakernel(scene, static, spec, stream, rays: Rays, interpret=None):
         ],
         0,
     )
-    out = _run(tables, o, dd, st_packed, key, interpret=interpret)
+    if interpret == "shim":
+        out = _run_shim(tables, o, dd, st_packed, key)
+    else:
+        out = _run(tables, o, dd, st_packed, key, interpret=interpret)
     li = out[0:3, :n].T
     nrays = jnp.sum(out[3, :n])
     return stream, li, nrays

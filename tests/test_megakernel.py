@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from kazen_tpu.integrate import camera as camera_mod
-from kazen_tpu.integrate.megakernel import li_megakernel, supported
+from kazen_tpu.integrate.megakernel import MAX_BRUTE, li_megakernel, supported
 from kazen_tpu.integrate.path_mis import li_wavefront
 from kazen_tpu.integrate.render import sampler_spec
 from kazen_tpu.samplers import streams
@@ -20,7 +20,10 @@ from kazen_tpu.scene.compiler import compile_scene
 from scenes import cornell_box, make_mesh, sphere_mesh
 
 
-def _li_pair(scene_desc, w=24, h=24, sample_index=0):
+def _li_pair(scene_desc, w=24, h=24, sample_index=0, interpret="shim"):
+    """interpret="shim" (default) runs the kernel math as plain JAX, which
+    compiles in seconds; interpret=True exercises the Pallas interpreter and
+    is reserved for the slow-tier canary test."""
     arrays, static = compile_scene(scene_desc)
     assert supported(arrays, static), "scene should be in the fast-path class"
     spec = sampler_spec(static)
@@ -34,7 +37,7 @@ def _li_pair(scene_desc, w=24, h=24, sample_index=0):
     rays = camera_mod.sample_ray(arrays, static, ps, ap)
     _, li_ref, nr_ref = li_wavefront(arrays, static, spec, stream, rays)
     _, li_mk, nr_mk = li_megakernel(
-        arrays, static, spec, stream, rays, interpret=True
+        arrays, static, spec, stream, rays, interpret=interpret
     )
     return np.asarray(li_ref), np.asarray(li_mk), float(nr_ref), float(nr_mk)
 
@@ -51,6 +54,7 @@ def test_megakernel_matches_wavefront_diffuse():
     _assert_match(li_ref, li_mk, nr_ref, nr_mk)
 
 
+@pytest.mark.slow
 def test_megakernel_matches_wavefront_mixed_materials():
     # kiss + mirror + ggx + dielectric panels exercise every dispatch branch
     extra = (
@@ -76,6 +80,7 @@ def test_megakernel_matches_wavefront_mixed_materials():
     _assert_match(li_ref, li_mk, nr_ref, nr_mk)
 
 
+@pytest.mark.slow
 def test_megakernel_matches_wavefront_regularization_and_bg():
     sc = cornell_box(
         width=16, height=16, regularization=True,
@@ -95,6 +100,7 @@ def test_megakernel_later_sample_index():
     _assert_match(li_ref, li_mk, nr_ref, nr_mk)
 
 
+@pytest.mark.slow
 def test_megakernel_stratified_sampler():
     li_ref, li_mk, nr_ref, nr_mk = _li_pair(
         cornell_box(width=16, height=16, spp=9, sampler="stratified"),
@@ -103,6 +109,7 @@ def test_megakernel_stratified_sampler():
     _assert_match(li_ref, li_mk, nr_ref, nr_mk)
 
 
+@pytest.mark.slow
 def test_megakernel_correlated_sampler():
     li_ref, li_mk, nr_ref, nr_mk = _li_pair(
         cornell_box(width=16, height=16, spp=8, sampler="correlated"),
@@ -127,9 +134,19 @@ def test_megakernel_bvh_walk_matches_wavefront():
     )
     sc = cornell_box(width=20, height=20, extra_meshes=extra)
     arrays, static = compile_scene(sc)
-    assert int(arrays.F.shape[0]) > 128  # really on the BVH path
+    assert int(arrays.F.shape[0]) > MAX_BRUTE  # really on the BVH path
     li_ref, li_mk, nr_ref, nr_mk = _li_pair(sc, w=20, h=20)
     assert li_ref.mean() > 0.01
+    _assert_match(li_ref, li_mk, nr_ref, nr_mk)
+
+
+@pytest.mark.slow
+def test_megakernel_pallas_interpreter_canary():
+    """One config through the real Pallas interpreter (masked-op emulation,
+    BlockSpec plumbing); everything else uses the fast _ShimRef path."""
+    li_ref, li_mk, nr_ref, nr_mk = _li_pair(
+        cornell_box(width=16, height=16), w=16, h=16, interpret=True
+    )
     _assert_match(li_ref, li_mk, nr_ref, nr_mk)
 
 

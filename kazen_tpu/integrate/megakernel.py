@@ -67,19 +67,32 @@ from ..accel.intersect import Rays
 
 BLOCK = 1024
 MAX_BRUTE = 128  # triangles; brute unrolled trace (static VMEM row reads)
-MAX_LIGHT_TRIS = 32  # total light triangles (sum over lights)
+MAX_LIGHT_TRIS = 64  # total light-triangle slots (sum over lights, padded)
 MAX_MATERIALS = 16
-# VMEM budget for the scene tables (tris + BVH nodes). Rows are (.,64)/
-# (.,16) f32 and Mosaic tiles the minor dim to 128 lanes, so every row
-# costs 512 bytes of real VMEM regardless of its logical width.
+# Mosaic tiles the minor dim to 128 lanes (f32), so a VMEM row costs 512
+# bytes regardless of its logical width. All scene tables therefore pack
+# multiple logical records per 128-float row:
+#   geo   8 tris/row  (16 f32 each: p0 e1 e2 mat light light_pv has_n has_uv)
+#   attr  8 tris/row  (16 f32 each: n0 n1 n2 uv0 uv1 uv2)
+#   nodes 4 nodes/row (32 f32 each: bmin bmax skip prim_count leaf_row)
+# Records are read with one dynamic-sublane row fetch + static lane
+# extracts (+ scalar selects for the node quadrant), which is the access
+# pattern TPU supports without per-lane gathers.
 _ROW_BYTES = 512
-MEGA_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom of ~6MB for ray state
-A = 16  # attribute column offset inside a merged (64,) triangle row
+GEO_F = 16  # f32 per triangle record (geo and attr tables)
+SLOTS_PER_ROW = 128 // GEO_F  # 8
+NODE_F = 32  # f32 per node record
+NODES_PER_ROW = 128 // NODE_F  # 4
+# VMEM budget for all packed tables; the chip has ~16MB of VMEM (probed on
+# v5e) and the kernel needs ~1-2MB for ray-state vectors and block IO.
+MEGA_VMEM_BUDGET = 12 * 1024 * 1024
 # Megakernel BVH leaf size. Fatter than accel/bvh.py's default 4: a fully
 # divergent 1024-ray packet descends almost every subtree, so the walk cost
 # is ~(nodes * slab + tested_prims * MT); fewer, fatter leaves trade a few
-# extra (vectorized, cheap) MT tests for far fewer (scalar-fetch) node steps.
-MEGA_LEAF = 8
+# extra (vectorized, cheap) MT tests for far fewer (scalar-fetch) node
+# steps. Every leaf is padded to exactly MEGA_LEAF slots so a leaf is one
+# geo row + one attr row (padding slots have e1=e2=0 -> MT det==0, no hit).
+MEGA_LEAF = SLOTS_PER_ROW
 
 INV_PI = float(1.0 / np.pi)
 BIG = 3.0e38
@@ -585,25 +598,30 @@ def _bsdf_sample(btypes, mp, wi, s1, s2a, s2b, accum):
 
 
 class MegaTables(NamedTuple):
-    tris: jnp.ndarray  # (Fp, 64) merged triangle rows, BVH prim order when
-    #   the scene uses the in-kernel walk (face order otherwise):
-    #   [0:3] p0, [3:6] e1, [6:9] e2, [9] mat, [10] light, [11] light_pv,
-    #   [12] has_n, [13] has_uv, [14] light_inv_area,
-    #   [A+0:A+9] n0 n1 n2, [A+9:A+15] uv0 uv1 uv2, [A+15:A+18] radiance
-    nodes: jnp.ndarray  # (Mp, 16) flattened BVH (escape-link layout):
-    #   [0:3] bounds_min, [3:6] bounds_max, [6] skip, [7] prim_count,
-    #   [8] prim_offset; dummy (8, 16) zeros for brute-force scenes
+    tris: jnp.ndarray  # (Rg, 128) geometry rows, 8 tri records of 16 f32:
+    #   [0:3] p0, [3:6] e1, [6:9] e2, [9] mat, [10] light (-1 none),
+    #   [11] light_pv, [12] has_n, [13] has_uv. BVH scenes: row r holds
+    #   leaf r's (padded) prims; brute scenes: face order.
+    attr: jnp.ndarray  # (Rg, 128) attribute rows, same slot order:
+    #   [0:9] n0 n1 n2, [9:15] uv0 uv1 uv2
+    nodes: jnp.ndarray  # (Rn, 128) flattened BVH (escape-link layout), 4
+    #   node records of 32 f32: [0:3] bounds_min, [3:6] bounds_max,
+    #   [6] skip, [7] prim_count, [8] leaf_row (geo/attr row index);
+    #   dummy (8, 128) zeros for brute-force scenes
     mats: jnp.ndarray  # (M, 16): btype base metallic roughness aniso
     #                    specular spec_tint clearcoat cc_rough sheen
     #                    sheen_tint int_ior ext_ior pad
     light_tris: jnp.ndarray  # (L*maxLF, 32): p0 e1 e2 n0 n1 n2 rad inv_area
     #                          has_n valid pad
     light_cdf: jnp.ndarray  # (L, maxLF+1)
+    light_info: jnp.ndarray  # (max(L,1), 16): [0:3] radiance, [3] inv_area
     consts: jnp.ndarray  # (1, 8): bg rgb premultiplied
 
 
 def supported(arrays, static) -> bool:
-    """Host-side fast-path eligibility check (concrete scene arrays)."""
+    """Host-side fast-path class check (feature set only; the VMEM budget
+    is enforced by pack_tables, which returns None when the packed tables
+    would not fit)."""
     if static.integrator_kind != "path_mis":
         return False
     if static.sampler_kind not in ("independent", "stratified", "correlated"):
@@ -615,17 +633,8 @@ def supported(arrays, static) -> bool:
     if any(t not in _SUPPORTED_BTYPES for t in static.btypes_present):
         return False
     nf = int(arrays.F.shape[0])
-    if nf > MAX_BRUTE:
-        # in-kernel BVH walk: needs the compile-time BVH and the packed
-        # tables (tris + nodes, 512B/row tiled) must fit the VMEM budget
-        if arrays.bvh is None:
-            return False
-        # conservative row estimate from the (finer, leaf-4) render BVH;
-        # pack_tables rebuilds at MEGA_LEAF which only shrinks the node count
-        m = int(arrays.bvh.bounds_min.shape[0])
-        rows = (nf + MEGA_LEAF + 8) + (m + 8)
-        if rows * _ROW_BYTES > MEGA_VMEM_BUDGET:
-            return False
+    if nf > MAX_BRUTE and arrays.bvh is None:
+        return False
     if static.num_materials > MAX_MATERIALS:
         return False
     if static.num_lights > 0:
@@ -642,8 +651,19 @@ def supported(arrays, static) -> bool:
     return True
 
 
-def pack_tables(arrays, static) -> MegaTables:
-    V = np.asarray(arrays.V, np.float32)
+def _pack_slots(slots: np.ndarray) -> np.ndarray:
+    """(S, GEO_F) records -> (ceil(S/8) 8-padded, 128) rows."""
+    s = slots.shape[0]
+    rows = -(-s // SLOTS_PER_ROW)
+    rows += (-rows) % 8  # sublane multiple
+    out = np.zeros((rows * SLOTS_PER_ROW, GEO_F), np.float32)
+    out[:s] = slots
+    return out.reshape(rows, 128)
+
+
+def pack_tables(arrays, static):
+    """Packs the megakernel's VMEM tables; returns None when they would
+    exceed MEGA_VMEM_BUDGET (caller falls back to the XLA wavefront)."""
     F = np.asarray(arrays.F, np.int32)
     face_shade = np.asarray(arrays.face_shade, np.float32)
     face_mesh = np.asarray(arrays.face_mesh, np.int32)
@@ -653,62 +673,81 @@ def pack_tables(arrays, static) -> MegaTables:
     has_uv = np.asarray(arrays.mesh_has_uvs)
     nf = F.shape[0]
 
-    tris = np.zeros((nf, 64), np.float32)
+    geo = np.zeros((nf, GEO_F), np.float32)
     p0 = face_shade[:, 0:3]
-    p1 = face_shade[:, 3:6]
-    p2 = face_shade[:, 6:9]
-    tris[:, 0:3] = p0
-    tris[:, 3:6] = p1 - p0
-    tris[:, 6:9] = p2 - p0
+    geo[:, 0:3] = p0
+    geo[:, 3:6] = face_shade[:, 3:6] - p0
+    geo[:, 6:9] = face_shade[:, 6:9] - p0
     fm = face_mesh
-    tris[:, 9] = mesh_mat[fm].astype(np.float32)
+    geo[:, 9] = mesh_mat[fm].astype(np.float32)
     lid = mesh_light[fm]
-    tris[:, 10] = lid.astype(np.float32)
+    geo[:, 10] = lid.astype(np.float32)
     if static.num_lights > 0:
         lpv = np.asarray(arrays.light_primary_vis)
-        inv_area = np.asarray(arrays.light_inv_area, np.float32)
-        tris[:, 11] = np.where(lid >= 0, lpv[np.maximum(lid, 0)], 0).astype(
+        geo[:, 11] = np.where(lid >= 0, lpv[np.maximum(lid, 0)], 0).astype(
             np.float32
         )
-        tris[:, 14] = np.where(lid >= 0, inv_area[np.maximum(lid, 0)], 0.0)
-        rad = np.asarray(arrays.light_radiance, np.float32)
-        tris[:, A + 15:A + 18] = np.where(
-            (lid >= 0)[:, None], rad[np.maximum(lid, 0)], 0.0
-        )
-    tris[:, 12] = has_n[fm].astype(np.float32)
-    tris[:, 13] = has_uv[fm].astype(np.float32)
-    tris[:, A + 0:A + 9] = face_shade[:, 9:18]  # n0 n1 n2
-    tris[:, A + 9:A + 15] = face_shade[:, 18:24]  # uv0 uv1 uv2
+    geo[:, 12] = has_n[fm].astype(np.float32)
+    geo[:, 13] = has_uv[fm].astype(np.float32)
+
+    attr = np.zeros((nf, GEO_F), np.float32)
+    attr[:, 0:9] = face_shade[:, 9:18]  # n0 n1 n2
+    attr[:, 9:15] = face_shade[:, 18:24]  # uv0 uv1 uv2
 
     if nf > MAX_BRUTE:
-        # in-kernel packet BVH walk: reorder triangle rows into BVH prim
-        # order (leaf reads become contiguous scalar-indexed rows) and pack
-        # the flattened node table. Pad rows so prim_offset+k stays in range
-        # and row counts are sublane (8) multiples.
+        # In-kernel packet BVH walk: every leaf becomes exactly one geo row
+        # and one attr row (MEGA_LEAF slots, zero-padded; padding has
+        # e1=e2=0 so Moller-Trumbore rejects it via det==0), and the node
+        # table stores the geo row index directly.
         from ..accel.bvh import build_bvh
 
         bvh = build_bvh(np.asarray(arrays.V), F, leaf_size=MEGA_LEAF)
-        perm = np.asarray(bvh.prim_faces)
-        tris = tris[perm]
-        rpad = (-(nf + MEGA_LEAF)) % 8 + MEGA_LEAF
-        tris = np.concatenate([tris, np.zeros((rpad, 64), np.float32)])
-        mn = int(bvh.bounds_min.shape[0])
-        mpad = (-mn) % 8
-        nodes = np.zeros((mn + mpad, 16), np.float32)
-        nodes[:mn, 0:3] = np.asarray(bvh.bounds_min)
-        nodes[:mn, 3:6] = np.asarray(bvh.bounds_max)
-        nodes[:mn, 6] = np.asarray(bvh.skip).astype(np.float32)
-        nodes[:mn, 7] = np.asarray(bvh.prim_count).astype(np.float32)
-        nodes[:mn, 8] = np.asarray(bvh.prim_offset).astype(np.float32)
+        pcnt = np.asarray(bvh.prim_count)
+        poff = np.asarray(bvh.prim_offset)
+        pfaces = np.asarray(bvh.prim_faces)
+        leaf_nodes = np.nonzero(pcnt > 0)[0]
+        n_leaves = len(leaf_nodes)
+        slot_faces = np.full((n_leaves, MEGA_LEAF), -1, np.int64)
+        for i, nidx in enumerate(leaf_nodes):
+            c = int(pcnt[nidx])
+            o = int(poff[nidx])
+            slot_faces[i, :c] = pfaces[o:o + c]
+        flat = slot_faces.reshape(-1)
+        valid = flat >= 0
+        geo_slots = np.zeros((n_leaves * MEGA_LEAF, GEO_F), np.float32)
+        geo_slots[:, 10] = -1.0  # padding is "no light"
+        geo_slots[valid] = geo[flat[valid]]
+        attr_slots = np.zeros((n_leaves * MEGA_LEAF, GEO_F), np.float32)
+        attr_slots[valid] = attr[flat[valid]]
+        tris_p = _pack_slots(geo_slots)
+        attr_p = _pack_slots(attr_slots)
+
+        mn = int(pcnt.shape[0])
+        leaf_row = np.zeros(mn, np.float32)
+        leaf_row[leaf_nodes] = np.arange(n_leaves, dtype=np.float32)
+        mpad = (-mn) % (NODES_PER_ROW * 8)
+        node_rec = np.zeros((mn + mpad, NODE_F), np.float32)
+        node_rec[:mn, 0:3] = np.asarray(bvh.bounds_min)
+        node_rec[:mn, 3:6] = np.asarray(bvh.bounds_max)
+        node_rec[:mn, 6] = np.asarray(bvh.skip).astype(np.float32)
+        node_rec[:mn, 7] = pcnt.astype(np.float32)
+        node_rec[:mn, 8] = leaf_row
         if mpad:
-            # inverted boxes are never hit; their skip exits the walk. The
-            # real exit index is mn, which lands on the first pad row for
-            # one extra (no-op) iteration before the cursor reaches the end.
-            nodes[mn:, 0:3] = BIG
-            nodes[mn:, 3:6] = -BIG
-            nodes[mn:, 6] = float(mn + mpad)
+            # inverted boxes are never hit; their skip exits the walk (the
+            # loop condition is cursor < mn so these are never visited)
+            node_rec[mn:, 0:3] = BIG
+            node_rec[mn:, 3:6] = -BIG
+            node_rec[mn:, 6] = float(mn + mpad)
+        nodes = node_rec.reshape(-1, 128)
     else:
-        nodes = np.zeros((8, 16), np.float32)
+        tris_p = _pack_slots(geo)
+        attr_p = _pack_slots(attr)
+        nodes = np.zeros((8, 128), np.float32)
+
+    table_rows = tris_p.shape[0] + attr_p.shape[0] + nodes.shape[0]
+    if table_rows * _ROW_BYTES > MEGA_VMEM_BUDGET:
+        return None
+    tris = tris_p
 
     mt = arrays.materials
     M = int(np.asarray(mt.btype).shape[0])
@@ -756,6 +795,11 @@ def pack_tables(arrays, static) -> MegaTables:
         ltris = np.zeros((1, 32), np.float32)
         lcdf = np.zeros((1, 2), np.float32)
 
+    linfo = np.zeros((max(static.num_lights, 1), 16), np.float32)
+    if static.num_lights > 0:
+        linfo[:, 0:3] = np.asarray(arrays.light_radiance, np.float32)
+        linfo[:, 3] = np.asarray(arrays.light_inv_area, np.float32)
+
     consts = np.zeros((1, 8), np.float32)
     if static.has_background:
         consts[0, 0:3] = (
@@ -765,10 +809,12 @@ def pack_tables(arrays, static) -> MegaTables:
 
     return MegaTables(
         tris=jnp.asarray(tris),
+        attr=jnp.asarray(attr_p),
         nodes=jnp.asarray(nodes),
         mats=jnp.asarray(mats),
         light_tris=jnp.asarray(ltris),
         light_cdf=jnp.asarray(lcdf),
+        light_info=jnp.asarray(linfo),
         consts=jnp.asarray(consts),
     )
 
@@ -797,8 +843,8 @@ def _make_kernel(cfg):
     use_bvh = F > MAX_BRUTE
 
     def kernel(
-        o_ref, d_ref, st_ref, tris_ref, nodes_ref, mats_ref, ltri_ref,
-        lcdf_ref, consts_ref, out_ref,
+        o_ref, d_ref, st_ref, tris_ref, attr_ref, nodes_ref, mats_ref,
+        ltri_ref, lcdf_ref, linfo_ref, consts_ref, out_ref,
     ):
         ox, oy, oz = o_ref[0, :], o_ref[1, :], o_ref[2, :]
         dx, dy, dz = d_ref[0, :], d_ref[1, :], d_ref[2, :]
@@ -882,11 +928,8 @@ def _make_kernel(cfg):
                 )
             raise ValueError(sampler_kind)
 
-        def mt_tri(o, d, g):
-            """Moller-Trumbore vs one scalar triangle row (mesh.cpp:55-92)."""
-            p0 = (g[0], g[1], g[2])
-            e1 = (g[3], g[4], g[5])
-            e2 = (g[6], g[7], g[8])
+        def mt_tri(o, d, p0, e1, e2):
+            """Moller-Trumbore vs one scalar triangle (mesh.cpp:55-92)."""
             pv = _cross(d, e2)
             det = _dot(e1, pv)
             ok = jnp.abs(det) > 1e-8
@@ -899,6 +942,14 @@ def _make_kernel(cfg):
             ok = ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
             return t, u, v, ok
 
+        def _geo_tri(grow, k):
+            """Static-lane extracts of triangle k's geometry record."""
+            b = k * GEO_F
+            p0 = (grow[b + 0], grow[b + 1], grow[b + 2])
+            e1 = (grow[b + 3], grow[b + 4], grow[b + 5])
+            e2 = (grow[b + 6], grow[b + 7], grow[b + 8])
+            return p0, e1, e2
+
         def _init_best(o):
             return dict(
                 # ``found`` is carried as f32 0/1: Mosaic cannot select on
@@ -910,36 +961,64 @@ def _make_kernel(cfg):
                 n2=(zero, zero, zero),
                 uv0=(zero, zero), uv1=(zero, zero), uv2=(zero, zero),
                 mat=zero, light=-one, light_pv=zero, has_n=zero,
-                has_uv=zero, inv_area=zero, rad=(zero, zero, zero),
+                has_uv=zero,
             )
 
-        def _merge_hit(best, ok, t, u, v, g):
-            """Fold one tested triangle row into the running best hit."""
+        def _merge_hit(best, ok, t, u, v, grow, arow, k, p0, e1, e2):
+            """Fold triangle k of a (geo row, attr row) pair into the
+            running best hit (all lane offsets static)."""
+            b = k * GEO_F
 
-            def sel(s, b):
-                return jnp.where(ok, s, b)
+            def sel(s, bst):
+                return jnp.where(ok, s, bst)
 
             return dict(
                 t=sel(t, best["t"]), u=sel(u, best["u"]),
                 v=sel(v, best["v"]),
                 found=jnp.where(ok, 1.0, best["found"]),
-                p0=tuple(sel(g[i], best["p0"][i]) for i in range(3)),
-                e1=tuple(sel(g[3 + i], best["e1"][i]) for i in range(3)),
-                e2=tuple(sel(g[6 + i], best["e2"][i]) for i in range(3)),
-                n0=tuple(sel(g[A + i], best["n0"][i]) for i in range(3)),
-                n1=tuple(sel(g[A + 3 + i], best["n1"][i]) for i in range(3)),
-                n2=tuple(sel(g[A + 6 + i], best["n2"][i]) for i in range(3)),
-                uv0=tuple(sel(g[A + 9 + i], best["uv0"][i]) for i in range(2)),
-                uv1=tuple(sel(g[A + 11 + i], best["uv1"][i]) for i in range(2)),
-                uv2=tuple(sel(g[A + 13 + i], best["uv2"][i]) for i in range(2)),
-                mat=sel(g[9], best["mat"]),
-                light=sel(g[10], best["light"]),
-                light_pv=sel(g[11], best["light_pv"]),
-                has_n=sel(g[12], best["has_n"]),
-                has_uv=sel(g[13], best["has_uv"]),
-                inv_area=sel(g[14], best["inv_area"]),
-                rad=tuple(sel(g[A + 15 + i], best["rad"][i]) for i in range(3)),
+                p0=tuple(sel(p0[i], best["p0"][i]) for i in range(3)),
+                e1=tuple(sel(e1[i], best["e1"][i]) for i in range(3)),
+                e2=tuple(sel(e2[i], best["e2"][i]) for i in range(3)),
+                n0=tuple(sel(arow[b + i], best["n0"][i]) for i in range(3)),
+                n1=tuple(sel(arow[b + 3 + i], best["n1"][i]) for i in range(3)),
+                n2=tuple(sel(arow[b + 6 + i], best["n2"][i]) for i in range(3)),
+                uv0=tuple(sel(arow[b + 9 + i], best["uv0"][i]) for i in range(2)),
+                uv1=tuple(sel(arow[b + 11 + i], best["uv1"][i]) for i in range(2)),
+                uv2=tuple(sel(arow[b + 13 + i], best["uv2"][i]) for i in range(2)),
+                mat=sel(grow[b + 9], best["mat"]),
+                light=sel(grow[b + 10], best["light"]),
+                light_pv=sel(grow[b + 11], best["light_pv"]),
+                has_n=sel(grow[b + 12], best["has_n"]),
+                has_uv=sel(grow[b + 13], best["has_uv"]),
             )
+
+        def _light_info(hit):
+            """rad/inv_area of the hit light by masked select over the
+            (tiny) light table; padding slots carry light = -1."""
+            rad = (zero, zero, zero)
+            inv_area = zero
+            for l in range(L):
+                r = linfo_ref[l, :]
+                s = hit["light"] == float(l)
+                rad = _where3(s, (r[0], r[1], r[2]), rad)
+                inv_area = jnp.where(s, r[3], inv_area)
+            hit["rad"] = rad
+            hit["inv_area"] = inv_area
+            return hit
+
+        def _node_vals(cursor):
+            """One node record: row fetch + quadrant select (4 nodes/row)."""
+            nrow = nodes_ref[jax.lax.shift_right_logical(cursor, 2), :]
+            q = jnp.bitwise_and(cursor, 3)
+
+            def nv(i):
+                c01 = jnp.where(q == 1, nrow[NODE_F + i], nrow[i])
+                c23 = jnp.where(
+                    q == 3, nrow[3 * NODE_F + i], nrow[2 * NODE_F + i]
+                )
+                return jnp.where(q >= 2, c23, c01)
+
+            return nv
 
         def _inv_dir(d):
             tiny = 1e-20
@@ -947,14 +1026,14 @@ def _make_kernel(cfg):
                 1.0 / jnp.where(jnp.abs(c) < tiny, tiny, c) for c in d
             )
 
-        def _slab(node, o, inv, mint, maxt):
-            """Packet AABB slab test vs one scalar node row."""
-            tx0 = (node[0] - o[0]) * inv[0]
-            tx1 = (node[3] - o[0]) * inv[0]
-            ty0 = (node[1] - o[1]) * inv[1]
-            ty1 = (node[4] - o[1]) * inv[1]
-            tz0 = (node[2] - o[2]) * inv[2]
-            tz1 = (node[5] - o[2]) * inv[2]
+        def _slab(nv, o, inv, mint, maxt):
+            """Packet AABB slab test vs one scalar node record."""
+            tx0 = (nv(0) - o[0]) * inv[0]
+            tx1 = (nv(3) - o[0]) * inv[0]
+            ty0 = (nv(1) - o[1]) * inv[1]
+            ty1 = (nv(4) - o[1]) * inv[1]
+            tz0 = (nv(2) - o[2]) * inv[2]
+            tz1 = (nv(5) - o[2]) * inv[2]
             tnear = jnp.maximum(
                 jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
                 jnp.minimum(tz0, tz1),
@@ -966,35 +1045,36 @@ def _make_kernel(cfg):
             return (tnear <= tfar) & (tfar >= mint) & (tnear <= maxt)
 
         if use_bvh:
+            # total node records incl. row padding; pad records are
+            # inverted boxes whose skip is this count, costing at most one
+            # no-op iteration when the walk falls off the last real node
+            n_nodes = nodes_ref.shape[0] * NODES_PER_ROW
 
             def trace(o, d, mint):
                 """Nearest-hit packet BVH walk (accel/bvh.py layout): one
                 scalar cursor per block; the block descends when ANY lane
                 hits the node box, pruning with the per-lane best t."""
                 inv = _inv_dir(d)
-                n_nodes = nodes_ref.shape[0]
 
                 def body(state):
                     cursor, best = state
-                    node = nodes_ref[cursor, :]
-                    hit_box = _slab(node, o, inv, mint, best["t"])
+                    nv = _node_vals(cursor)
+                    hit_box = _slab(nv, o, inv, mint, best["t"])
                     any_hit = jnp.any(hit_box)
-                    prim_count = node[7].astype(jnp.int32)
-                    prim_offset = node[8].astype(jnp.int32)
-                    is_leaf = prim_count > 0
+                    is_leaf = nv(7) > 0.0
 
                     def leaf_tests(best):
+                        lr = nv(8).astype(jnp.int32)
+                        grow = tris_ref[lr, :]
+                        arow = attr_ref[lr, :]
                         for k in range(MEGA_LEAF):
-                            g = tris_ref[prim_offset + k, :]
-                            t, u, v, ok = mt_tri(o, d, g)
-                            ok = (
-                                ok
-                                & (k < prim_count)
-                                & hit_box
-                                & (t >= mint)
-                                & (t < best["t"])
+                            p0, e1, e2 = _geo_tri(grow, k)
+                            t, u, v, ok = mt_tri(o, d, p0, e1, e2)
+                            # padding slots have e1=e2=0 -> det==0 -> !ok
+                            ok = ok & hit_box & (t >= mint) & (t < best["t"])
+                            best = _merge_hit(
+                                best, ok, t, u, v, grow, arow, k, p0, e1, e2
                             )
-                            best = _merge_hit(best, ok, t, u, v, g)
                         return best
 
                     best = jax.lax.cond(
@@ -1003,7 +1083,7 @@ def _make_kernel(cfg):
                     nxt = jnp.where(
                         any_hit & jnp.logical_not(is_leaf),
                         cursor + 1,
-                        node[6].astype(jnp.int32),
+                        nv(6).astype(jnp.int32),
                     )
                     return nxt, best
 
@@ -1019,31 +1099,27 @@ def _make_kernel(cfg):
                 block (step-through, integrator.cpp:259-278). Exits early
                 once every lane is blocked."""
                 inv = _inv_dir(d)
-                n_nodes = nodes_ref.shape[0]
 
                 def body(state):
                     cursor, blocked_f = state
-                    node = nodes_ref[cursor, :]
-                    hit_box = _slab(node, o, inv, mint, maxt) & (
+                    nv = _node_vals(cursor)
+                    hit_box = _slab(nv, o, inv, mint, maxt) & (
                         blocked_f == 0.0
                     )
                     any_hit = jnp.any(hit_box)
-                    prim_count = node[7].astype(jnp.int32)
-                    prim_offset = node[8].astype(jnp.int32)
-                    is_leaf = prim_count > 0
+                    is_leaf = nv(7) > 0.0
 
                     def leaf_tests(blocked_f):
+                        lr = nv(8).astype(jnp.int32)
+                        grow = tris_ref[lr, :]
                         for k in range(MEGA_LEAF):
-                            g = tris_ref[prim_offset + k, :]
-                            t, _, _, ok = mt_tri(o, d, g)
-                            ok = (
-                                ok
-                                & (k < prim_count)
-                                & hit_box
-                                & (t >= mint)
-                                & (t <= maxt)
+                            p0, e1, e2 = _geo_tri(grow, k)
+                            t, _, _, ok = mt_tri(o, d, p0, e1, e2)
+                            ok = ok & hit_box & (t >= mint) & (t <= maxt)
+                            b = k * GEO_F
+                            inv_light = (grow[b + 10] >= 0.0) & (
+                                grow[b + 11] == 0.0
                             )
-                            inv_light = (g[10] >= 0.0) & (g[11] == 0.0)
                             blocked_f = jnp.where(
                                 ok & jnp.logical_not(inv_light),
                                 1.0,
@@ -1057,7 +1133,7 @@ def _make_kernel(cfg):
                     nxt = jnp.where(
                         any_hit & jnp.logical_not(is_leaf),
                         cursor + 1,
-                        node[6].astype(jnp.int32),
+                        nv(6).astype(jnp.int32),
                     )
                     return nxt, blocked_f
 
@@ -1070,29 +1146,41 @@ def _make_kernel(cfg):
                 return blocked_f > 0.0
 
         else:
+            n_geo_rows = -(-F // SLOTS_PER_ROW)
 
             def trace(o, d, mint):
-                """Nearest-hit over all triangles, unrolled (tiny scenes)."""
+                """Nearest-hit over all triangles, unrolled (tiny scenes);
+                all row reads and lane extracts are static."""
                 best = _init_best(o)
-                for k in range(F):
-                    g = tris_ref[k, :]
-                    t, u, v, ok = mt_tri(o, d, g)
-                    ok = ok & (t >= mint) & (t < best["t"])
-                    best = _merge_hit(best, ok, t, u, v, g)
+                for r in range(n_geo_rows):
+                    grow = tris_ref[r, :]
+                    arow = attr_ref[r, :]
+                    for k in range(min(SLOTS_PER_ROW, F - r * SLOTS_PER_ROW)):
+                        p0, e1, e2 = _geo_tri(grow, k)
+                        t, u, v, ok = mt_tri(o, d, p0, e1, e2)
+                        ok = ok & (t >= mint) & (t < best["t"])
+                        best = _merge_hit(
+                            best, ok, t, u, v, grow, arow, k, p0, e1, e2
+                        )
                 return best
 
             def occluded(o, d, mint, maxt):
                 """Any-hit; primary-invisible lights do not block (the
                 step-through semantics of integrator.cpp:259-278)."""
                 blocked = fbool
-                for k in range(F):
-                    g = tris_ref[k, :]
-                    t, _, _, ok = mt_tri(o, d, g)
-                    ok = ok & (t >= mint) & (t <= maxt)
-                    is_invisible_light = (g[10] >= 0.0) & (g[11] == 0.0)
-                    blocked = blocked | (
-                        ok & jnp.logical_not(is_invisible_light)
-                    )
+                for r in range(n_geo_rows):
+                    grow = tris_ref[r, :]
+                    for k in range(min(SLOTS_PER_ROW, F - r * SLOTS_PER_ROW)):
+                        p0, e1, e2 = _geo_tri(grow, k)
+                        t, _, _, ok = mt_tri(o, d, p0, e1, e2)
+                        ok = ok & (t >= mint) & (t <= maxt)
+                        b = k * GEO_F
+                        is_invisible_light = (grow[b + 10] >= 0.0) & (
+                            grow[b + 11] == 0.0
+                        )
+                        blocked = blocked | (
+                            ok & jnp.logical_not(is_invisible_light)
+                        )
                 return blocked
 
         def prep(hit):
@@ -1219,6 +1307,7 @@ def _make_kernel(cfg):
             # the original camera origin in the reference; its.p is all that
             # matters downstream and prep() recomputes it from the hit)
 
+        hit = _light_info(hit)
         p, frame, uv = prep(hit)
 
         li = [zero, zero, zero]
@@ -1398,7 +1487,7 @@ def _make_kernel(cfg):
             # (6) trace the BSDF ray (integrator.cpp:312-331)
             new_d = _to_world(frame, wo)
             new_o = p
-            hit = trace(new_o, new_d, trace_bias)
+            hit = _light_info(trace(new_o, new_d, trace_bias))
             nrays = nrays + jnp.where(alive, 1.0, 0.0)
 
             missed = alive & (hit["found"] == 0.0)
@@ -1492,10 +1581,12 @@ def _run(tables: MegaTables, o, d, pcg_packed, cfg_key, interpret=False):
             lane_spec(3),
             lane_spec(8),
             full_spec(tables.tris),
+            full_spec(tables.attr),
             full_spec(tables.nodes),
             full_spec(tables.mats),
             full_spec(tables.light_tris),
             full_spec(tables.light_cdf),
+            full_spec(tables.light_info),
             full_spec(tables.consts),
         ],
         out_specs=lane_spec(4),
@@ -1503,8 +1594,9 @@ def _run(tables: MegaTables, o, d, pcg_packed, cfg_key, interpret=False):
         interpret=interpret,
     )(
         o, d, pcg_packed,
-        tables.tris, tables.nodes, tables.mats,
-        tables.light_tris, tables.light_cdf, tables.consts,
+        tables.tris, tables.attr, tables.nodes, tables.mats,
+        tables.light_tris, tables.light_cdf, tables.light_info,
+        tables.consts,
     )
     return out
 
@@ -1555,9 +1647,10 @@ def _run_shim(tables: MegaTables, o, d, pcg_packed, cfg_key):
         out = _ShimRef(shape=(4, BLOCK))
         kernel(
             _ShimRef(ob), _ShimRef(db), _ShimRef(stb),
-            _ShimRef(tables.tris), _ShimRef(tables.nodes),
-            _ShimRef(tables.mats), _ShimRef(tables.light_tris),
-            _ShimRef(tables.light_cdf), _ShimRef(tables.consts),
+            _ShimRef(tables.tris), _ShimRef(tables.attr),
+            _ShimRef(tables.nodes), _ShimRef(tables.mats),
+            _ShimRef(tables.light_tris), _ShimRef(tables.light_cdf),
+            _ShimRef(tables.light_info), _ShimRef(tables.consts),
             out,
         )
         return out.stacked()

@@ -41,8 +41,35 @@ _MAX_OCCLUSION_STEPS = 8
 
 
 def intersect(scene, rays: Rays):
-    """Scene::rayIntersect: nearest hit + shading prep. Uses the BVH when the
-    scene has one compiled in, else the brute-force oracle."""
+    """Scene::rayIntersect: nearest hit. Backend order: Pallas packet trace
+    (accel/mega_trace.py; attached by the scene compiler on TPU backends),
+    then the XLA gather-walk BVH, then the brute-force oracle.
+
+    The Pallas walk runs on gradient-stopped rays and returns the chosen
+    face; (t, u, v) are recomputed in closed form against that face so
+    gradients flow exactly as in the brute-force oracle (same contract as
+    accel/bvh.py:intersect_bvh)."""
+    tt = getattr(scene, "trace_tables", None)
+    if tt is not None:
+        from ..accel import mega_trace
+        from ..accel.bvh import _mt_pre
+
+        rays_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, rays)
+        _, _, _, slot = mega_trace.trace(
+            tt, rays_ng.o, rays_ng.d, rays_ng.mint, rays_ng.maxt
+        )
+        found = slot >= 0
+        face = tt.slot_face[jnp.maximum(slot, 0)]
+        face = jnp.maximum(face, 0)
+        idx = scene.F[jnp.clip(face, 0, scene.F.shape[0] - 1)]
+        p0 = scene.V[idx[:, 0]]
+        t, u, v, _ = _mt_pre(
+            rays.o, rays.d, p0,
+            scene.V[idx[:, 1]] - p0, scene.V[idx[:, 2]] - p0,
+        )
+        from ..accel.intersect import Hit
+
+        return Hit(valid=found, t=t, face=face, u=u, v=v)
     bvh = getattr(scene, "bvh", None)
     if bvh is not None:
         from ..accel.bvh import intersect_bvh
@@ -63,7 +90,18 @@ def power_heuristic(pdf_a, pdf_b):
 def _occluded_with_stepthrough(scene, static, o, d, mint, maxt, active):
     """Shadow-ray occlusion with the reference's step-through of
     primary-invisible lights (integrator.cpp:259-278): the nearest hit is
-    examined; invisible lights are skipped by re-casting past them."""
+    examined; invisible lights are skipped by re-casting past them. The
+    re-cast loop is capped at _MAX_OCCLUSION_STEPS=8 (the reference's loop
+    is unbounded; >8 stacked invisible lights along one shadow ray differ).
+
+    With Pallas trace tables attached, occlusion is instead a single
+    any-hit pass that ignores invisible-light faces (the megakernel's
+    epsilon-level deviation, documented in accel/mega_trace.py)."""
+    tt = getattr(scene, "trace_tables", None)
+    if tt is not None:
+        from ..accel import mega_trace
+
+        return mega_trace.occluded(tt, o, d, mint, maxt) & active
 
     def cond(state):
         _, _, _, done, steps = state
@@ -114,7 +152,43 @@ class _State(NamedTuple):
     bsdf_weight: jnp.ndarray  # (N,)
     accum_rough: jnp.ndarray  # (N,)
     alive: jnp.ndarray  # (N,) bool
+    lane: jnp.ndarray  # (N,) u32 original lane id (lanes get re-sorted)
     rays: jnp.ndarray  # () f32: useful rays traced (primary+shadow+path)
+
+
+def _part1by2(x):
+    """Spread the low 10 bits of x two apart (Morton interleave helper)."""
+    x = jnp.bitwise_and(x, jnp.uint32(0x3FF))
+    x = jnp.bitwise_and(x | (x << 16), jnp.uint32(0x030000FF))
+    x = jnp.bitwise_and(x | (x << 8), jnp.uint32(0x0300F00F))
+    x = jnp.bitwise_and(x | (x << 4), jnp.uint32(0x030C30C3))
+    x = jnp.bitwise_and(x | (x << 2), jnp.uint32(0x09249249))
+    return x
+
+
+def _resort_state(scene, st: _State) -> _State:
+    """Re-order lanes for the packet trace: dead lanes last (whole blocks
+    of dead lanes exit the walk after one root test), alive lanes in
+    Morton order of the hit point (origin-coherent blocks walk ~5x fewer
+    nodes). All per-lane state moves together, so the image is unchanged;
+    the on-chip 2M-lane argsort + state permute cost ~0.6ms total."""
+    bmin = jnp.min(scene.V, axis=0)
+    ext = jnp.maximum(jnp.max(scene.V, axis=0) - bmin, 1e-6)
+    cell = jnp.clip(
+        ((st.its.p - bmin) / ext * 128.0), 0.0, 127.0
+    ).astype(jnp.uint32)
+    morton = (
+        (_part1by2(cell[:, 0]) << 2)
+        | (_part1by2(cell[:, 1]) << 1)
+        | _part1by2(cell[:, 2])
+    )
+    key = jnp.where(st.alive, morton, jnp.uint32(0x80000000))
+    order = jnp.argsort(key)
+
+    def perm(a):
+        return a[order] if getattr(a, "ndim", 0) else a
+
+    return jax.tree_util.tree_map(perm, st)
 
 
 def _light_eval_at_hit(scene, its: Interaction, ray_o):
@@ -137,6 +211,8 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
     false the RR draw is *not consumed* (per-lane stream state is selected
     back), matching the reference's depth>=3 conditional draw exactly while
     keeping the bounce body a single scan iteration."""
+    if getattr(scene, "trace_tables", None) is not None:
+        st = _resort_state(scene, st)
     stream = st.stream
     its = st.its
     alive = st.alive
@@ -219,7 +295,9 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
             its.p,
             nee_wi,
             static.trace_bias,
-            nee_maxt,
+            # dead lanes get an empty [bias, -1] segment so their blocks
+            # exit the packet walk on the root test
+            jnp.where(alive, nee_maxt, -1.0),
             alive,
         )
         wo_local = its.sh_frame.to_local(nee_wi)
@@ -257,7 +335,7 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
         o=new_o,
         d=new_d,
         mint=jnp.full(n, static.trace_bias, jnp.float32),
-        maxt=jnp.full(n, INF),
+        maxt=jnp.where(alive, INF, -1.0),
     )
     hit = intersect(scene, rays)
     new_its = prepare(scene, rays, hit)
@@ -307,12 +385,40 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
         bsdf_weight=bsdf_weight,
         accum_rough=accum,
         alive=alive,
+        lane=st.lane,
         rays=st.rays + n_shadow_rays + n_path_rays,
     )
 
 
 def li_wavefront(scene, static, spec, stream, rays: Rays):
-    """Integrator::Li over a whole lane batch. Returns (stream, li)."""
+    """Integrator::Li over a whole lane batch. Returns (stream, li).
+
+    With Pallas trace tables attached, lanes are re-ordered into 32x32
+    pixel tiles first so each 1024-lane trace block is spatially coherent
+    (the packet walk is ~5x faster on coherent blocks; measured 27M vs 6M
+    rays/s on the 36k-tri reference scene). The on-chip argsort costs
+    ~0.05ms at 2M lanes; li is scattered back to the caller's order."""
+    if getattr(scene, "trace_tables", None) is not None:
+        key = (
+            jnp.minimum(stream.py >> 5, jnp.uint32(0x7FFF)) * jnp.uint32(0x8000)
+            + jnp.minimum(stream.px >> 5, jnp.uint32(0x7FFF))
+        )
+        order = jnp.argsort(key)
+        perm = lambda a: a[order] if a.ndim else a
+        stream_s = jax.tree_util.tree_map(perm, stream)
+        rays_s = jax.tree_util.tree_map(perm, rays)
+        stream_out, li, nrays = _li_wavefront_core(
+            scene, static, spec, stream_s, rays_s
+        )
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0], dtype=order.dtype)
+        )
+        unperm = lambda a: a[inv] if a.ndim else a
+        return jax.tree_util.tree_map(unperm, stream_out), li[inv], nrays
+    return _li_wavefront_core(scene, static, spec, stream, rays)
+
+
+def _li_wavefront_core(scene, static, spec, stream, rays: Rays):
     n = rays.o.shape[0]
     hit = intersect(scene, rays)
     its = prepare(scene, rays, hit)
@@ -348,6 +454,7 @@ def li_wavefront(scene, static, spec, stream, rays: Rays):
         bsdf_weight=jnp.ones(n, jnp.float32),
         accum_rough=jnp.zeros(n, jnp.float32),
         alive=its.valid,
+        lane=jnp.arange(n, dtype=jnp.uint32),
         rays=jnp.sum(jnp.ones(n, jnp.float32)),
     )
 
@@ -357,4 +464,18 @@ def li_wavefront(scene, static, spec, stream, rays: Rays):
         return _bounce(scene, static, spec, carry, draw_rr=flag), None
 
     st, _ = jax.lax.scan(body, st, draw_rr_flags)
+    if getattr(scene, "trace_tables", None) is not None:
+        # undo the per-bounce lane re-sorting (see _resort_state)
+        inv = jnp.zeros_like(st.lane).at[st.lane].set(
+            jnp.arange(n, dtype=jnp.uint32)
+        )
+
+        def unperm(a):
+            return a[inv] if getattr(a, "ndim", 0) else a
+
+        return (
+            jax.tree_util.tree_map(unperm, st.stream),
+            st.li[inv],
+            st.rays,
+        )
     return st.stream, st.li, st.rays

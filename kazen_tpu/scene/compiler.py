@@ -127,6 +127,10 @@ class SceneArrays(NamedTuple):
     focus_distance: jnp.ndarray  # ()
     # acceleration structure (accel/bvh.py); None = brute-force intersection
     bvh: Optional[object] = None
+    # Pallas packet-trace tables (accel/mega_trace.py); attached on TPU
+    # backends for BVH scenes -- path_mis.intersect/occlusion route through
+    # the Pallas kernels when present
+    trace_tables: Optional[object] = None
     # environment importance tables (built when Background.importance; see
     # _build_env_tables). Zeros-placeholders otherwise so the pytree shape
     # is stable.
@@ -621,10 +625,27 @@ def compile_scene(
     if use_bvh is None:
         use_bvh = len(F) > 64
     bvh = None
+    trace_tables = None
     if use_bvh:
         from ..accel.bvh import build_bvh
 
         bvh = build_bvh(V, F)
+        # Pallas packet-trace tables: the TPU hot path for ray traversal.
+        # KAZEN_PALLAS_TRACE=0/1 overrides the backend default.
+        import os as _os
+
+        _env = _os.environ.get("KAZEN_PALLAS_TRACE")
+        if _env is not None:
+            _enable_tt = _env not in ("0", "false", "")
+        else:
+            _enable_tt = jax.default_backend() not in ("cpu",)
+        if _enable_tt:
+            from ..accel.mega_trace import pack_trace_tables
+
+            lid_face = np.asarray(mesh_light, np.int32)[face_mesh]
+            trace_tables = pack_trace_tables(
+                V, F, lid_face, light_primary[: max(L, 1)] if L else None
+            )
 
     face_shade = np.concatenate(
         [
@@ -678,6 +699,7 @@ def compile_scene(
         aperture_radius=jnp.asarray(aperture, jnp.float32),
         focus_distance=jnp.asarray(focus, jnp.float32),
         bvh=bvh,
+        trace_tables=trace_tables,
         env_row_cdf=env_row_cdf,
         env_col_cdf=env_col_cdf,
         env_pdf=env_pdf,
@@ -710,24 +732,36 @@ def compile_scene(
         env_res=env_res,
     )
 
-    # Megakernel fast path: pack tables when supported; turn it on by
-    # default only on TPU backends (KAZEN_MEGAKERNEL=0/1 overrides).
+    # Megakernel fast path: pack tables when the scene is in the supported
+    # class AND the packed tables fit the VMEM budget (pack_tables returns
+    # None otherwise); turn it on by default only on TPU backends
+    # (KAZEN_MEGAKERNEL=0/1 overrides).
     from ..integrate import megakernel as mk
 
     if mk.supported(arrays, static):
-        import os
+        mega = mk.pack_tables(arrays, static)
+        if mega is not None:
+            import os
 
-        env = os.environ.get("KAZEN_MEGAKERNEL")
-        if env is not None:
-            enable = env not in ("0", "false", "")
-        else:
-            enable = jax.default_backend() not in ("cpu",)
-        arrays = arrays._replace(mega=mk.pack_tables(arrays, static))
-        static = dataclasses.replace(
-            static,
-            use_megakernel=enable,
-            mega_cfg=mk.cfg_key(arrays, static),
-        )
+            env = os.environ.get("KAZEN_MEGAKERNEL")
+            if env is not None:
+                enable = env not in ("0", "false", "")
+            else:
+                # default: megakernel only for brute-force-size scenes
+                # (its unrolled trace hits 248M rays/s there); BVH scenes
+                # go to the wavefront + Pallas packet trace, whose
+                # coherence-ordered walk is ~50-100x faster than the
+                # megakernel's in-loop shared-cursor walk on big meshes
+                enable = (
+                    jax.default_backend() not in ("cpu",)
+                    and len(F) <= mk.MAX_BRUTE
+                )
+            arrays = arrays._replace(mega=mega)
+            static = dataclasses.replace(
+                static,
+                use_megakernel=enable,
+                mega_cfg=mk.cfg_key(arrays, static),
+            )
     return arrays, static
 
 

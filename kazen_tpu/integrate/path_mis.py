@@ -223,9 +223,18 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
 
     wi_world = -st.ray_d
     wi_local = its.sh_frame.to_local(wi_world)
+    lod = None
+    if getattr(static, "mip_textures", False):
+        # Mip level from a per-segment ray-cone footprint: world width
+        # t * pixel_cone, mapped to uv space through |dpdu| (the OIIO
+        # filtered-lookup analog, texture.cpp:46-64). log2 of the uv
+        # footprint; per-texture resolution is added inside eval_texture.
+        foot_world = jnp.abs(its.t) * static.pixel_cone
+        dpdu_len = jnp.maximum(km.norm(its.dpdu), 1e-6)
+        lod = jnp.log2(jnp.maximum(foot_world / dpdu_len, 1e-9))
     ctx = bsdf_mod.make_ctx(
         scene=scene, static=static, mat_id=its.material, uv=its.uv,
-        sh_frame=its.sh_frame, dpdu=its.dpdu, wi=wi_local,
+        sh_frame=its.sh_frame, dpdu=its.dpdu, wi=wi_local, lod=lod,
     )
 
     # (1) emitter hit terminates the lane (integrator.cpp:226-231)

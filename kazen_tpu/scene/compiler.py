@@ -71,14 +71,20 @@ TEX_BLEND_MIX = 3
 TEX_BLEND_MULTIPLY = 4
 
 
+MAX_MIP_LEVELS = 14  # up to 8192^2 level-0 images
+
+
 class TexturePool(NamedTuple):
     """Flat texture graph: image nodes index the texel pool; composite nodes
     (colorramp texture.cpp:149-191, blend :195-270) reference child node ids.
-    Graph depth is limited to 2 composite levels at compile time."""
+    Graph depth is limited to 2 composite levels at compile time. When the
+    scene opts into mip_textures, every image node carries a box-filtered
+    mip chain appended to the same flat pool (level l at mip_offset[:, l],
+    size max(1, w>>l) x max(1, h>>l))."""
 
     texels: jnp.ndarray  # (P, 3) float32 flat pool
-    offset: jnp.ndarray  # (T,) int32 start index into texels
-    width: jnp.ndarray  # (T,) int32
+    offset: jnp.ndarray  # (T,) int32 start index into texels (level 0)
+    width: jnp.ndarray  # (T,) int32 (level 0)
     height: jnp.ndarray  # (T,) int32
     uv_scale: jnp.ndarray  # (T,) float32
     ttype: jnp.ndarray  # (T,) int32 TEX_*
@@ -88,6 +94,8 @@ class TexturePool(NamedTuple):
     mask_id: jnp.ndarray  # (T,) int32
     ramp_min: jnp.ndarray  # (T,)
     ramp_max: jnp.ndarray  # (T,)
+    mip_offset: jnp.ndarray  # (T, MAX_MIP_LEVELS) int32
+    n_levels: jnp.ndarray  # (T,) int32 (1 = no chain)
 
 
 class SceneArrays(NamedTuple):
@@ -171,6 +179,11 @@ class SceneStatic:
     # env importance sampling (opt-in via Background.importance)
     env_importance: bool = False
     env_res: Tuple[int, int] = (0, 0)  # (Eh, Ew) of the importance tables
+    # filtered (trilinear mip) image-texture minification (opt-in via
+    # Scene.mip_textures); pixel_cone = screen-space footprint angle used
+    # to pick the mip level from hit distance + dpdu
+    mip_textures: bool = False
+    pixel_cone: float = 0.0
     # Pallas megakernel fast path (integrate/megakernel.py): enabled at
     # scene-compile time when the scene is in the supported class AND the
     # backend is a TPU (CPU tests keep the reference XLA wavefront).
@@ -198,7 +211,7 @@ def _load_mesh_arrays(m: D.Mesh):
 
 
 class _TexturePacker:
-    def __init__(self):
+    def __init__(self, build_mips: bool = False):
         self.texels = []
         self.offsets = []
         self.widths = []
@@ -212,6 +225,9 @@ class _TexturePacker:
         self.mask_id = []
         self.ramp_min = []
         self.ramp_max = []
+        self.build_mips = build_mips
+        self.mip_offsets = []
+        self.n_levels = []
 
     def _new_node(self, ttype, const=(0.0, 0.0, 0.0)):
         tid = len(self.ttypes)
@@ -226,6 +242,8 @@ class _TexturePacker:
         self.widths.append(1)
         self.heights.append(1)
         self.scales.append(1.0)
+        self.mip_offsets.append([0] * MAX_MIP_LEVELS)
+        self.n_levels.append(1)
         return tid
 
     def add_node(self, tex, depth=0) -> int:
@@ -279,7 +297,36 @@ class _TexturePacker:
         self.heights[tid] = h
         self.scales[tid] = float(tex.scale)
         self.texels.append(img.reshape(-1, 3).astype(np.float32))
+        self.mip_offsets[tid][0] = self.total
         self.total += h * w
+        if self.build_mips:
+            # 2x2 box-filtered chain down to 1x1 (texture.cpp:46-64's OIIO
+            # filtered minification, precomputed). Odd dims wrap the last
+            # row/col (periodic textures).
+            level = img.astype(np.float32)
+            li = 1
+            while (
+                (level.shape[0] > 1 or level.shape[1] > 1)
+                and li < MAX_MIP_LEVELS
+            ):
+                hh, ww = level.shape[:2]
+                if hh % 2:
+                    level = np.concatenate([level, level[:1]], axis=0)
+                if ww % 2:
+                    level = np.concatenate([level, level[:, :1]], axis=1)
+                level = 0.25 * (
+                    level[0::2, 0::2]
+                    + level[1::2, 0::2]
+                    + level[0::2, 1::2]
+                    + level[1::2, 1::2]
+                )
+                self.mip_offsets[tid][li] = self.total
+                self.texels.append(level.reshape(-1, 3).astype(np.float32))
+                self.total += level.shape[0] * level.shape[1]
+                li += 1
+            self.n_levels[tid] = li
+            for rest in range(li, MAX_MIP_LEVELS):
+                self.mip_offsets[tid][rest] = self.mip_offsets[tid][li - 1]
         return tid
 
     def finish(self) -> TexturePool:
@@ -303,6 +350,8 @@ class _TexturePacker:
             mask_id=jnp.asarray(np.asarray(self.mask_id, np.int32)),
             ramp_min=jnp.asarray(np.asarray(self.ramp_min, np.float32)),
             ramp_max=jnp.asarray(np.asarray(self.ramp_max, np.float32)),
+            mip_offset=jnp.asarray(np.asarray(self.mip_offsets, np.int32)),
+            n_levels=jnp.asarray(np.asarray(self.n_levels, np.int32)),
         )
 
 
@@ -509,7 +558,7 @@ def compile_scene(
     scene: D.Scene, use_bvh: Optional[bool] = None
 ) -> Tuple[SceneArrays, SceneStatic]:
     """use_bvh: None = auto (BVH when the scene has >64 faces)."""
-    packer = _TexturePacker()
+    packer = _TexturePacker(build_mips=bool(scene.mip_textures))
     mats = _MaterialBuilder(packer)
 
     Vs, Fs, Ns, UVs = [], [], [], []
@@ -730,6 +779,10 @@ def compile_scene(
         rfilter_c=scene.rfilter.c,
         env_importance=env_importance,
         env_res=env_res,
+        mip_textures=bool(scene.mip_textures),
+        pixel_cone=float(
+            2.0 * np.tan(np.deg2rad(cam.fov) / 2.0) / cam.height
+        ),
     )
 
     # Megakernel fast path: pack tables when the scene is in the supported

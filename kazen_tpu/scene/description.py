@@ -319,6 +319,10 @@ class Scene:
     integrator: Integrator = field(default_factory=PathMis)
     rfilter: RFilter = field(default_factory=RFilter)
     background: Optional[Background] = None
+    # Filtered (trilinear mip) image-texture minification, the analog of
+    # OIIO's filtered lookups (texture.cpp:46-64). Off by default: level-0
+    # bilinear is the oracle-parity mode.
+    mip_textures: bool = False
 
 
 def lookat(origin, target, up) -> np.ndarray:

@@ -706,7 +706,11 @@ class ShadeCtx(NamedTuple):
     pframe: km.Frame
 
 
-def make_ctx(static, scene, mat_id, uv, sh_frame, dpdu, wi) -> ShadeCtx:
+def make_ctx(static, scene, mat_id, uv, sh_frame, dpdu, wi, lod=None) -> ShadeCtx:
+    if lod is not None and getattr(static, "mip_textures", False):
+        # thread the mip footprint through every texture fetch as a third
+        # uv column (see textures.eval_texture)
+        uv = jnp.concatenate([uv, lod[..., None]], axis=-1)
     mp, mp_eff, perturbed, pframe, wi_eff, _ = _resolve_normalmap(
         static, scene, scene.materials, mat_id, uv, sh_frame, dpdu, wi
     )

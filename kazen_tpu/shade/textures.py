@@ -16,11 +16,9 @@ import jax.numpy as jnp
 from ..core import math as km
 
 
-def _bilinear(pool, tid, x, y):
-    """Bilinear fetch at continuous pixel coords (x, y) with periodic wrap."""
-    w = pool.width[tid]
-    h = pool.height[tid]
-    off = pool.offset[tid]
+def _bilinear_wh(pool, off, w, h, x, y):
+    """Bilinear fetch at continuous pixel coords (x, y) with periodic wrap,
+    explicit (offset, width, height) so mip levels share the code."""
     x = x - 0.5
     y = y - 0.5
     x0 = jnp.floor(x)
@@ -43,16 +41,54 @@ def _bilinear(pool, tid, x, y):
     )
 
 
-def _eval_leaf(pool, tid, uv):
-    """Level-0 node eval: image bilinear or constant; composite -> 0."""
+def _bilinear(pool, tid, x, y):
+    return _bilinear_wh(
+        pool, pool.offset[tid], pool.width[tid], pool.height[tid], x, y
+    )
+
+
+def _bilinear_level(pool, tid, u, v, level):
+    """Bilinear at mip level (integer, per-lane); level-l size is
+    max(1, w >> l) x max(1, h >> l) at pool.mip_offset[tid, l]."""
+    w = jnp.maximum(jnp.right_shift(pool.width[tid], level), 1)
+    h = jnp.maximum(jnp.right_shift(pool.height[tid], level), 1)
+    off = jnp.take_along_axis(
+        pool.mip_offset[tid], level[..., None], axis=-1
+    )[..., 0]
+    return _bilinear_wh(
+        pool, off, w, h, u * w.astype(jnp.float32), v * h.astype(jnp.float32)
+    )
+
+
+def _eval_leaf(pool, tid, uv, lod=None):
+    """Image bilinear (trilinear across the mip chain when ``lod`` is
+    given) or constant; composite -> 0. ``lod`` is log2 of the uv-space
+    footprint; the per-texture texel level adds log2(resolution*scale)."""
     from ..scene.compiler import TEX_CONSTANT, TEX_IMAGE
 
     scale = pool.uv_scale[tid]
     u = uv[..., 0] * scale
     v = (1.0 - uv[..., 1]) * scale
-    w = pool.width[tid].astype(jnp.float32)
-    h = pool.height[tid].astype(jnp.float32)
-    img = _bilinear(pool, tid, u * w, v * h)
+    if lod is None:
+        w = pool.width[tid].astype(jnp.float32)
+        h = pool.height[tid].astype(jnp.float32)
+        img = _bilinear(pool, tid, u * w, v * h)
+    else:
+        # OIIO-style filtered minification (texture.cpp:46-64): clamp the
+        # level of detail to the texture's chain, trilinear between the
+        # two bracketing levels
+        res = jnp.maximum(pool.width[tid], pool.height[tid]).astype(
+            jnp.float32
+        )
+        lam = lod + jnp.log2(res * jnp.maximum(scale, 1e-9))
+        max_l = (pool.n_levels[tid] - 1).astype(jnp.float32)
+        lam = jnp.clip(lam, 0.0, max_l)
+        l0 = jnp.floor(lam).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, pool.n_levels[tid] - 1)
+        f = (lam - l0.astype(jnp.float32))[..., None]
+        img = (1.0 - f) * _bilinear_level(pool, tid, u, v, l0) + (
+            f * _bilinear_level(pool, tid, u, v, l1)
+        )
     tt = pool.ttype[tid]
     val = jnp.where((tt == TEX_IMAGE)[..., None], img, 0.0)
     return jnp.where(
@@ -99,19 +135,28 @@ def _combine(pool, tid, uv, child_eval):
     return out
 
 
-def eval_texture(static, pool, tex_id, uv, const_color):
+def eval_texture(static, pool, tex_id, uv, const_color, lod=None):
     """Texture<Color3f>::eval(uv) over the texture graph: image lookup or
     up-to-two composite levels where tex_id >= 0, else the per-lane
-    constant color."""
+    constant color. ``lod``: per-lane log2 uv-footprint for mip selection
+    (None = exact level-0 bilinear, the oracle-parity mode). A (N, 3) uv
+    carries the lod in its third column -- the convention ShadeCtx uses to
+    thread the footprint through the BSDF fetch sites unchanged."""
+    if uv.shape[-1] == 3:
+        if lod is None:
+            lod = uv[..., 2]
+        uv = uv[..., :2]
+    if not getattr(static, "mip_textures", False):
+        lod = None
     tid = jnp.maximum(tex_id, 0)
     if not static.has_composite_textures and not static.has_image_textures:
         # only constant nodes exist: composite/image paths compile away
         val = pool.const_color[tid]
     elif not static.has_composite_textures:
-        val = _eval_leaf(pool, tid, uv)
+        val = _eval_leaf(pool, tid, uv, lod)
     else:
         level1 = lambda nid: _combine(
-            pool, nid, uv, lambda cid: _eval_leaf(pool, cid, uv)
+            pool, nid, uv, lambda cid: _eval_leaf(pool, cid, uv, lod)
         )
         val = _combine(pool, tid, uv, level1)
     return jnp.where((tex_id >= 0)[..., None], val, const_color)

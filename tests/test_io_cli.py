@@ -16,6 +16,18 @@ def test_exr_roundtrip(tmp_path):
     np.testing.assert_array_equal(img, back)
 
 
+def test_exr_zip_roundtrip(tmp_path):
+    """ZIP-compressed EXR (zlib + ImfZip predictor over 16-line chunks):
+    the reference ingests these via OIIO (bitmap.cpp:7-21)."""
+    img = (np.random.default_rng(1).random((37, 19, 3)) * 5).astype(
+        np.float32
+    )
+    p = str(tmp_path / "t_zip.exr")
+    img_io.save_exr(p, img, compression="zip")
+    assert os.path.getsize(p) < 37 * 19 * 3 * 4 + 400  # actually compressed
+    np.testing.assert_array_equal(img, img_io.load_exr(p))
+
+
 def test_png_write(tmp_path):
     img = np.random.default_rng(0).random((8, 8, 3)).astype(np.float32)
     p = str(tmp_path / "t.png")
@@ -201,3 +213,68 @@ def test_reference_scene_renders():
     img = np.asarray(render(arrays, static, spp=2))
     assert np.isfinite(img).all()
     assert img.mean() > 0.1
+
+
+def test_mip_textures_minified_checker():
+    """Filtered minification (texture.cpp:46-64 analog): a heavily
+    minified checker must converge to mid-gray with mip_textures on, while
+    level-0 bilinear keeps near-binary texel noise at the same spp."""
+    import jax.numpy as jnp
+    from kazen_tpu.scene import description as D
+    from kazen_tpu.shade.textures import eval_texture
+
+    checker = np.zeros((64, 64, 3), np.float32)
+    checker[::2, ::2] = 1.0
+    checker[1::2, 1::2] = 1.0
+    tex = D.ImageTexture(data=checker, colorspace="linear", scale=40.0)
+
+    def floor_scene(mips):
+        v = np.array(
+            [[-50, 0, -50], [50, 0, -50], [50, 0, 50], [-50, 0, 50]],
+            np.float32,
+        )
+        f = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+        n = np.tile([0, 1, 0], (4, 1)).astype(np.float32)
+        uvs = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        lv = np.array(
+            [[-1, 8, -1], [1, 8, -1], [1, 8, 1], [-1, 8, 1]], np.float32
+        )
+        lf = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        return D.Scene(
+            meshes=[
+                D.Mesh(vertices=v, faces=f, normals=n, uvs=uvs,
+                       bsdf=D.Lambertian(albedo=tex)),
+                D.Mesh(vertices=lv, faces=lf,
+                       normals=np.tile([0, -1, 0], (4, 1)).astype(np.float32),
+                       bsdf=D.Diffuse((0, 0, 0)),
+                       light=D.AreaLight(intensity=40.0)),
+            ],
+            camera=D.PerspectiveCamera(
+                width=48, height=32, fov=50.0,
+                to_world=D.lookat([0, 0.4, -6], [0, 0.2, 6], [0, 1, 0]),
+            ),
+            sampler=D.Sampler(kind="independent", sample_count=2),
+            integrator=D.PathMis(max_depth=2),
+            rfilter=D.RFilter(kind="box"),
+            mip_textures=mips,
+        )
+
+    # mip chain built correctly: 64x64 checker fully averages to 0.5 by L1
+    arrays, static = compile_scene(floor_scene(True))
+    pool = arrays.textures
+    assert int(pool.n_levels.max()) == 7  # 64 -> 1
+    off1 = int(np.asarray(pool.mip_offset)[int(np.argmax(np.asarray(pool.n_levels))), 1])
+    lvl1 = np.asarray(pool.texels)[off1:off1 + 32 * 32]
+    np.testing.assert_allclose(lvl1, 0.5, atol=1e-6)
+
+    from kazen_tpu.integrate.render import render
+
+    img_mip = np.asarray(render(arrays, static, spp=2))
+    arrays0, static0 = compile_scene(floor_scene(False))
+    img_raw = np.asarray(render(arrays0, static0, spp=2))
+    # mid-distance rows: within-row variance (lighting is ~constant along
+    # a row, so this isolates texel noise) collapses under mips while
+    # level-0 bilinear stays high-variance at equal spp
+    noise_mip = img_mip[20:30, :, 0].std(axis=1).mean()
+    noise_raw = img_raw[20:30, :, 0].std(axis=1).mean()
+    assert noise_mip < 0.5 * noise_raw, (noise_mip, noise_raw)

@@ -101,11 +101,11 @@ def main():
 
     tt = arrays.trace_tables
     if tt is not None:
-        from kazen_tpu.accel import mega_trace
+        from kazen_tpu.accel import cluster_trace
 
         @jax.jit
         def trace_only(tt, o, d, mint, maxt):
-            return mega_trace.trace(tt, o, d, mint, maxt)
+            return cluster_trace.trace(tt, o, d, mint, maxt)
 
         dt, res = timed(trace_only, tt, rays.o, rays.d, rays.mint, rays.maxt)
         print(f"trace (coherent)   : {dt*1e3:9.1f} ms   ({n/dt/1e6:.2f}M rays/s)", flush=True)
@@ -118,7 +118,7 @@ def main():
 
         @jax.jit
         def occl_only(tt, o, d):
-            return mega_trace.occluded(
+            return cluster_trace.occluded(
                 tt, o, d, jnp.full(n, 1e-3, jnp.float32), jnp.full(n, 10.0, jnp.float32)
             )
 

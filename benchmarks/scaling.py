@@ -1,12 +1,17 @@
 #!/usr/bin/env python
 """Strong-scaling efficiency harness (BASELINE: >=85% efficiency 1->N).
 
-Renders the same frame on 1 device and on N devices (pixel lanes sharded,
-scene replicated) and reports wall-clock scaling efficiency. On a single
-real chip this runs on the virtual CPU mesh (functional validation); on a
-pod slice it measures real ICI scaling.
+Renders the same frame serially and with the pixels x sample-batches lane
+axis sharded over N devices via shard_map (dist/sharding.py:
+render_sample_sharded) -- the wavefront's per-bounce re-sort is shard-local
+and the only collective is the film psum. On a single real chip this runs
+on the virtual CPU mesh with the Pallas-trace shim (KAZEN_PALLAS_TRACE=1)
+for functional validation of the production configuration; on a pod slice
+it measures real ICI scaling.
 
-Usage: python benchmarks/scaling.py [--devices 8] [--width 512] [--spp 4]
+Usage:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+  KAZEN_PALLAS_TRACE=1 python benchmarks/scaling.py --devices 8 --write
 """
 import argparse
 import json
@@ -18,60 +23,100 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=None)
-    ap.add_argument("--width", type=int, default=256)
-    ap.add_argument("--height", type=int, default=256)
-    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--width", type=int, default=128)
+    ap.add_argument("--height", type=int, default=96)
+    ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--batches", type=int, default=2)
     ap.add_argument("--platform", default=None)
+    ap.add_argument(
+        "--write", action="store_true",
+        help="write SCALING_r03.json at the repo root",
+    )
     args = ap.parse_args()
 
-    if args.platform:
-        os.environ["JAX_PLATFORMS"] = args.platform
+    # sitecustomize imports jax before this script runs, so the JAX_PLATFORMS
+    # env var alone does not stick -- honor it (or --platform) via config
+    # before first backend use (same dance as tests/conftest.py).
+    platform = args.platform or os.environ.get("JAX_PLATFORMS")
     import jax
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    if args.platform == "cpu" and args.devices and len(jax.devices()) < args.devices:
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    sys.path.insert(0, os.path.join(root, "tests"))
+    import numpy as np
+    import scenes
+    from kazen_tpu.scene.compiler import compile_scene
+    from kazen_tpu.dist.sharding import make_mesh, render_sample_sharded
+    from kazen_tpu.integrate.render import render
+
+    n_dev = args.devices or len(jax.devices())
+    if len(jax.devices()) < n_dev:
         print(
             "re-run with XLA_FLAGS=--xla_force_host_platform_device_count=N",
             file=sys.stderr,
         )
         sys.exit(1)
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from __graft_entry__ import _tiny_scene
-    from kazen_tpu.dist.sharding import make_mesh, render_distributed
+    # BVH-class scene (spheres force cluster tables when
+    # KAZEN_PALLAS_TRACE=1): the production wavefront configuration
+    desc = scenes.cornell_box(width=args.width, height=args.height)
+    desc.meshes.append(scenes.sphere_mesh((0.3, 0.5, 0.3), 0.3, nu=16, nv=12))
+    desc.meshes.append(scenes.sphere_mesh((-0.4, 1.2, 0.2), 0.25, nu=12, nv=10))
+    arrays, static = compile_scene(desc)
+    tt = arrays.trace_tables is not None
 
-    n_dev = args.devices or len(jax.devices())
-    arrays, static = _tiny_scene(width=args.width, height=args.height)
+    img_ref = np.asarray(render(arrays, static, spp=1))
 
     results = {}
-    for nd in (1, n_dev):
+    imgs = {}
+    for nd in sorted({1, n_dev}):
         mesh = make_mesh(jax.devices()[:nd])
-        # warmup/compile
-        img = render_distributed(mesh, arrays, static, spp=1)
+        img = render_sample_sharded(
+            mesh, arrays, static, spp=1, sample_batches=1
+        )  # warmup/compile
         jax.block_until_ready(img)
         t0 = time.time()
-        img = render_distributed(mesh, arrays, static, spp=args.spp)
+        img = render_sample_sharded(
+            mesh, arrays, static, spp=args.spp, sample_batches=args.batches
+        )
         jax.block_until_ready(img)
         results[nd] = time.time() - t0
+        imgs[nd] = np.asarray(img)
 
     speedup = results[1] / results[n_dev]
     eff = speedup / n_dev
-    print(
-        json.dumps(
-            {
-                "metric": f"scaling efficiency 1->{n_dev} devices",
-                "value": eff,
-                "unit": "fraction",
-                "vs_baseline": eff / 0.85,
-                "detail": {
-                    "t1": results[1],
-                    f"t{n_dev}": results[n_dev],
-                    "speedup": speedup,
-                },
-            }
-        )
-    )
+    err = float(np.abs(imgs[1] - imgs[n_dev]).max())
+    payload = {
+        "metric": f"scaling efficiency 1->{n_dev} devices",
+        "value": eff,
+        "unit": "fraction",
+        "vs_baseline": eff / 0.85,
+        "detail": {
+            "t1": results[1],
+            f"t{n_dev}": results[n_dev],
+            "speedup": speedup,
+            "platform": jax.default_backend(),
+            "trace_tables": tt,
+            "sample_batches": args.batches,
+            "spp": args.spp,
+            "size": f"{args.width}x{args.height}",
+            "sharded_vs_serial_max_abs_err": err,
+            "note": (
+                "virtual CPU mesh shares one host's cores: efficiency "
+                "validates the sharded program structure (no all-to-alls, "
+                "image-exact), not ICI throughput"
+                if jax.default_backend() == "cpu"
+                else "real device mesh"
+            ),
+        },
+    }
+    print(json.dumps(payload))
+    if args.write:
+        with open(os.path.join(root, "SCALING_r03.json"), "w") as f:
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,7 @@ This replaces the reference's Embree3 dependency (accel.cpp:25-110, SURVEY
   ``cursor+1`` (enter) or ``skip`` (miss/after-leaf). The loop runs until
   every lane has walked off the end. Rays prune with their current best t.
 
-A Pallas kernel version of the same layout lives in accel/pallas_traverse.py.
+The production TPU path is the fused cluster-trace kernel (accel/cluster_trace.py).
 """
 from __future__ import annotations
 

@@ -1,0 +1,619 @@
+"""Fused Pallas trace kernel: two-level cluster BVH with MXU leaf tests.
+
+This is the TPU Embree replacement (Accel::rayIntersect, reference
+accel.cpp:63-110) designed round the hardware instead of round a per-ray
+walk. Three ideas:
+
+1. **Two-level structure.** Triangles are grouped into SAH-built clusters
+   of up to 128 (one BVH leaf = one cluster). A 1024-lane ray block walks
+   the *tiny* cluster tree with one shared scalar cursor (escape links,
+   no stacks); each visited leaf is tested densely: all 1024 rays x all
+   128 cluster triangles at once. The serialized part of the walk shrinks
+   from O(tree) to O(clusters) while the dense part vectorizes perfectly.
+
+2. **Moller-Trumbore as a matmul.** For a ray (o, d) and triangle
+   (p0, e1, e2), every MT quantity is *linear* in the 10-vector ray
+   feature f = [1, o, d, m=o x d] by the triple-product identities
+     det   = d . (e2 x e1)
+     t*det = (o - p0) . n            (n = e1 x e2)
+     u*det = e2 . m + (p0 x e2) . d
+     v*det = -e1 . m + (e1 x p0) . d
+   so one (128, 16) x (16, 1024) matmul per output evaluates the whole
+   (rays x triangles) block on the MXU; the VPU only runs the sign-folded
+   comparisons. The per-triangle coefficient rows are precomputed on the
+   host into the cluster block.
+
+3. **In-kernel winner attributes.** The per-lane nearest hit's full
+   shading row (3 vertices, 3 vertex normals, 3 uvs, face/light/material
+   meta) is fetched inside the kernel with a one-hot matmul against the
+   cluster's attribute rows, so the post-trace XLA shading prep needs *no
+   gathers at all* (XLA per-element gathers measured ~26ms/518k lanes;
+   the reference gets this for free from C++ pointer chasing).
+
+Cluster blocks live in **HBM** and are DMA'd per visited leaf with double
+buffering (walk phase collects visited leaves into an SMEM list, drain
+phase overlaps copy i+1 with test i). VMEM only holds the node table and
+two 48KB buffers, so scene size is bounded by HBM, not VMEM -- the
+reference's Embree serves any size at full speed (accel.cpp:25-61) and so
+does this: no table-size budget, no fallback cliff.
+
+Occlusion (`occluded`) is the any-hit variant; like the megakernel it
+skips primary-invisible light faces in a single pass instead of the
+reference's iterative re-cast (integrator.cpp:259-278): occluders hidden
+within trace_bias behind a skipped light differ (epsilon-level deviation,
+same as integrate/megakernel.py).
+
+On CPU backends `mode="shim"` runs a brute-force pure-JAX reference with
+identical semantics (chunked over clusters) so sharding tests exercise the
+same wavefront structure without hardware.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 1024
+K = 128  # triangles per cluster (BVH leaf size)
+ROWS = 96  # f32 rows per cluster block (see layout below)
+NODE_F = 64  # 2 node records per 128-float row
+BIG = 3.0e38
+MAXV = 96  # drained leaf-list capacity per walk phase (SMEM)
+_DET_EPS = 1e-8
+
+# cluster block row layout --------------------------------------------------
+_W_DET = 0  # rows 0:16   Wdet[f, tri]
+_W_T = 16  # rows 16:32  Wt
+_W_U = 32  # rows 32:48  Wu
+_W_V = 48  # rows 48:64  Wv
+_SH = 64  # rows 64:88  shade24 [p0 p1 p2 n0 n1 n2 uv0 uv1 uv2][tri]
+_M_FACE = 88  # face id (f32; exact below 2^24 faces)
+_M_LIGHT = 89  # light id (-1 none)
+_M_LPV = 90  # light primary visibility (0/1)
+_M_MAT = 91  # material id
+_M_HASN = 92  # mesh has vertex normals (0/1)
+_M_HASUV = 93  # mesh has uvs (0/1)
+
+# fused-output row layout ---------------------------------------------------
+OUT_ROWS = 40
+# 0 t, 1 u, 2 v, 3 face, 4:28 shade24, 28 light, 29 lpv, 30 mat,
+# 31 has_n, 32 has_uv; rest padding
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+class ClusterTables(NamedTuple):
+    nodes: jnp.ndarray  # (Rn, 128) f32, VMEM-resident in-kernel
+    geo: jnp.ndarray  # (C, ROWS, 128) f32, HBM; DMA'd per leaf visit
+
+
+def pack_cluster_tables(
+    V,
+    F,
+    face_shade,  # (Nf, 24) f32 [p0 p1 p2 n0 n1 n2 uv0 uv1 uv2]
+    face_light,  # (Nf,) int light id per face, -1 none
+    face_lpv,  # (Nf,) 0/1 light primary visibility per face
+    face_material,  # (Nf,) int material id per face
+    face_has_n,  # (Nf,) 0/1
+    face_has_uv,  # (Nf,) 0/1
+):
+    """Host-side (numpy) packing of the two-level tables. Never declines:
+    cluster blocks live in HBM (no VMEM budget); only the node table is
+    VMEM-resident and stays tiny (2 nodes/row over ceil(Nf/K) leaves)."""
+    from .bvh import build_bvh
+
+    V = np.asarray(V, np.float32)
+    F = np.asarray(F, np.int32)
+    if len(F) >= (1 << 24):
+        raise ValueError("face ids beyond f32-exact range")
+    bvh = build_bvh(V, F, leaf_size=K)
+    pcnt = np.asarray(bvh.prim_count)
+    poff = np.asarray(bvh.prim_offset)
+    pfaces = np.asarray(bvh.prim_faces)
+    leaf_nodes = np.nonzero(pcnt > 0)[0]
+    C = len(leaf_nodes)
+
+    # ---- cluster geometry blocks -----------------------------------------
+    geo = np.zeros((C, ROWS, 128), np.float32)
+    geo[:, _M_FACE, :] = -1.0
+    geo[:, _M_LIGHT, :] = -1.0
+    fs = np.asarray(face_shade, np.float32)
+    fl = np.asarray(face_light, np.float32)
+    fpv = np.asarray(face_lpv, np.float32)
+    fm = np.asarray(face_material, np.float32)
+    fhn = np.asarray(face_has_n, np.float32)
+    fhuv = np.asarray(face_has_uv, np.float32)
+    for ci, nidx in enumerate(leaf_nodes):
+        c = int(pcnt[nidx])
+        o = int(poff[nidx])
+        fidx = pfaces[o : o + c]
+        p0 = V[F[fidx, 0]]
+        e1 = V[F[fidx, 1]] - p0
+        e2 = V[F[fidx, 2]] - p0
+        n = np.cross(e1, e2)
+        # Wdet: det = d . (e2 x e1) = -d . n
+        geo[ci, _W_DET + 4 : _W_DET + 7, :c] = -n.T
+        # Wt: t*det = (o - p0) . n
+        geo[ci, _W_T + 0, :c] = -np.einsum("ij,ij->i", p0, n)
+        geo[ci, _W_T + 1 : _W_T + 4, :c] = n.T
+        # Wu: u*det = e2 . m + (p0 x e2) . d
+        geo[ci, _W_U + 4 : _W_U + 7, :c] = np.cross(p0, e2).T
+        geo[ci, _W_U + 7 : _W_U + 10, :c] = e2.T
+        # Wv: v*det = -e1 . m + (e1 x p0) . d
+        geo[ci, _W_V + 4 : _W_V + 7, :c] = np.cross(e1, p0).T
+        geo[ci, _W_V + 7 : _W_V + 10, :c] = -e1.T
+        geo[ci, _SH : _SH + 24, :c] = fs[fidx].T
+        geo[ci, _M_FACE, :c] = fidx.astype(np.float32)
+        geo[ci, _M_LIGHT, :c] = fl[fidx]
+        geo[ci, _M_LPV, :c] = fpv[fidx]
+        geo[ci, _M_MAT, :c] = fm[fidx]
+        geo[ci, _M_HASN, :c] = fhn[fidx]
+        geo[ci, _M_HASUV, :c] = fhuv[fidx]
+
+    # ---- node table (2 packed records per 128-f32 row) -------------------
+    mn = len(pcnt)
+    leaf_row = np.zeros(mn, np.float32)
+    leaf_row[leaf_nodes] = np.arange(C, dtype=np.float32)
+    mpad = (-mn) % 2
+    node = np.zeros((mn + mpad, NODE_F), np.float32)
+    node[:mn, 0:3] = np.asarray(bvh.bounds_min)
+    node[:mn, 3:6] = np.asarray(bvh.bounds_max)
+    node[:mn, 6] = np.asarray(bvh.skip).astype(np.float32)
+    node[:mn, 7] = pcnt.astype(np.float32)
+    node[:mn, 8] = leaf_row
+    if mpad:
+        node[mn:, 0:3] = BIG
+        node[mn:, 3:6] = -BIG
+        node[mn:, 6] = float(mn + mpad)
+    return ClusterTables(
+        nodes=jnp.asarray(node.reshape(-1, 128)),
+        geo=jnp.asarray(geo),
+    )
+
+
+def _make_kernel(any_hit: bool):
+    # Mosaic (jax 0.9) constraint, found by bisection: vector values carried
+    # through lax.while_loop/fori_loop abort the compiler when the loop body
+    # mixes 2D (sublane x lane) math -- 2D carries crash outright and 1D
+    # carries crash once the body broadcasts them against 2D. All per-lane
+    # loop state therefore lives in VMEM scratch refs (tbest/blocked in
+    # aux_ref, the winner's 32 shade rows in shade_ref) and every loop
+    # carries scalars only.
+    def kernel(
+        rays_ref, nodes_ref, geo_ref, out_ref,
+        buf_ref, sem_ref, list_ref, shade_ref, aux_ref,
+    ):
+        o = (rays_ref[0, :], rays_ref[1, :], rays_ref[2, :])
+        d = (rays_ref[3, :], rays_ref[4, :], rays_ref[5, :])
+        mint = rays_ref[6, :]
+        maxt = rays_ref[7, :]
+        inv = tuple(1.0 / jnp.where(jnp.abs(c) < 1e-20, 1e-20, c) for c in d)
+        n_nodes = nodes_ref.shape[0] * 2
+
+        # ray features [1, o, d, m = o x d] padded to 16 rows
+        m = (
+            o[1] * d[2] - o[2] * d[1],
+            o[2] * d[0] - o[0] * d[2],
+            o[0] * d[1] - o[1] * d[0],
+        )
+        zero = jnp.zeros_like(o[0])
+        feat = jnp.stack(
+            [jnp.ones_like(zero), o[0], o[1], o[2], d[0], d[1], d[2],
+             m[0], m[1], m[2], zero, zero, zero, zero, zero, zero],
+            axis=0,
+        )  # (16, BLOCK)
+
+        def node_vals(cursor):
+            nrow = nodes_ref[jax.lax.shift_right_logical(cursor, 1), :]
+            q = jnp.bitwise_and(cursor, 1)
+
+            def nv(i):
+                return jnp.where(q == 1, nrow[NODE_F + i], nrow[i])
+
+            return nv
+
+        def slab(nv, tmax):
+            tx0 = (nv(0) - o[0]) * inv[0]
+            tx1 = (nv(3) - o[0]) * inv[0]
+            ty0 = (nv(1) - o[1]) * inv[1]
+            ty1 = (nv(4) - o[1]) * inv[1]
+            tz0 = (nv(2) - o[2]) * inv[2]
+            tz1 = (nv(5) - o[2]) * inv[2]
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.minimum(tz0, tz1),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.maximum(tz0, tz1),
+            )
+            return (tnear <= tfar) & (tfar >= mint) & (tnear <= tmax)
+
+        def get_dma(i, slot):
+            cid = list_ref[i]
+            return pltpu.make_async_copy(
+                geo_ref.at[cid],
+                buf_ref.at[pl.ds(slot * ROWS, ROWS), :],
+                sem_ref.at[slot],
+            )
+
+        def collect(cursor):
+            """Walk nodes from ``cursor``, appending visited leaf cluster
+            ids to list_ref until it is full or the walk ends. Returns
+            (next_cursor, count). Prunes against the per-lane running
+            tmax in aux_ref row 0."""
+            tmax = aux_ref[0, :]
+
+            def cond(s):
+                c, cnt = s
+                return (c < n_nodes) & (cnt < MAXV)
+
+            def body(s):
+                c, cnt = s
+                nv = node_vals(c)
+                hit_box = slab(nv, tmax)
+                any_box = jnp.any(hit_box)
+                is_leaf = nv(7) > 0.0
+                take = any_box & is_leaf
+
+                @pl.when(take)
+                def _():
+                    list_ref[cnt] = nv(8).astype(jnp.int32)
+
+                nxt = jnp.where(
+                    any_box & jnp.logical_not(is_leaf),
+                    c + 1,
+                    nv(6).astype(jnp.int32),
+                )
+                return nxt, cnt + take.astype(jnp.int32)
+
+            return jax.lax.while_loop(cond, body, (cursor, jnp.int32(0)))
+
+        def mt_signed(blk):
+            """(ok, st, sd) over (K, BLOCK): sign-folded MT tests."""
+            dg = functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_HIGH,
+            )
+            det = dg(blk[_W_DET : _W_DET + 16], feat)
+            tn = dg(blk[_W_T : _W_T + 16], feat)
+            un = dg(blk[_W_U : _W_U + 16], feat)
+            vn = dg(blk[_W_V : _W_V + 16], feat)
+            s = jnp.where(det < 0.0, -1.0, 1.0)
+            sd = det * s
+            su = un * s
+            sv = vn * s
+            st = tn * s
+            ok = (
+                (sd > _DET_EPS)
+                & (su >= 0.0)
+                & (su <= sd)
+                & (sv >= 0.0)
+                & (su + sv <= sd)
+                & (st >= mint[None, :] * sd)
+                & (st <= maxt[None, :] * sd)
+            )
+            return ok, st, sd
+
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, BLOCK), 0)
+
+        def drain_loop(cnt, leaf_fn):
+            """Double-buffered DMA over the collected leaf list: copy i+1
+            while testing i."""
+
+            @pl.when(cnt > 0)
+            def _():
+                get_dma(0, 0).start()
+
+            def drain(i, z):
+                slot = jax.lax.rem(i, 2)
+
+                @pl.when(i + 1 < cnt)
+                def _():
+                    get_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+                get_dma(i, slot).wait()
+                leaf_fn(buf_ref[pl.ds(slot * ROWS, ROWS), :])
+                return z
+
+            jax.lax.fori_loop(0, cnt, drain, jnp.int32(0))
+
+        if any_hit:
+            # aux row 0: per-lane walk tmax (-1 once blocked); row 1: blocked
+            aux_ref[0, :] = maxt
+            aux_ref[1, :] = zero
+
+            def leaf_fn(blk):
+                ok, _, _ = mt_signed(blk)
+                # primary-invisible lights do not block
+                # (integrator.cpp:259-278 step-through). Keep the mask in
+                # f32 -- Mosaic cannot minor-dim-broadcast i1 vectors.
+                can_block = jnp.where(
+                    (blk[_M_LIGHT] >= 0.0) & (blk[_M_LPV] == 0.0), 0.0, 1.0
+                )
+                ok = ok & (can_block[:, None] > 0.5)
+                blocked = (aux_ref[1, :] > 0.0) | jnp.any(ok, axis=0)
+                aux_ref[1, :] = jnp.where(blocked, 1.0, 0.0)
+                aux_ref[0, :] = jnp.where(blocked, -1.0, maxt)
+
+            def outer_body(state):
+                cursor, _ = state
+                cursor, cnt = collect(cursor)
+                drain_loop(cnt, leaf_fn)
+                return cursor, jnp.all(aux_ref[1, :] > 0.0)
+
+            def outer_cond(state):
+                cursor, all_blocked = state
+                return (cursor < n_nodes) & jnp.logical_not(all_blocked)
+
+            jax.lax.while_loop(
+                outer_cond, outer_body, (jnp.int32(0), False)
+            )
+            out_ref[0, :] = aux_ref[1, :]
+            for r in range(1, out_ref.shape[0]):
+                out_ref[r, :] = zero
+        else:
+            # aux row 0: per-lane best t (doubles as the walk prune tmax);
+            # shade_ref: the winner's 32 attribute rows
+            aux_ref[0, :] = jnp.minimum(maxt, BIG)
+            row_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (ROWS - _SH, BLOCK), 0
+            )
+            shade_ref[:, :] = jnp.where(
+                (row_ids == _M_FACE - _SH) | (row_ids == _M_LIGHT - _SH),
+                -1.0,
+                0.0,
+            )
+
+            def leaf_fn(blk):
+                tbest = aux_ref[0, :]
+                ok, st, sd = mt_signed(blk)
+                tt = jnp.where(ok, st * pl.reciprocal(sd, approx=True), BIG)
+                leaf_min = jnp.min(tt, axis=0)
+                improved = (leaf_min < tbest) & (leaf_min < BIG)
+                kwin = jnp.argmin(tt, axis=0)
+                onehot = jnp.where(
+                    (iota_k == kwin[None, :]) & improved[None, :], 1.0, 0.0
+                )
+                fetched = jax.lax.dot_general(
+                    blk[_SH:],
+                    onehot,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_HIGH,
+                )  # (32, BLOCK)
+                shade_ref[:, :] = jnp.where(
+                    improved[None, :], fetched, shade_ref[:, :]
+                )
+                aux_ref[0, :] = jnp.where(improved, leaf_min, tbest)
+
+            def outer_body(cursor):
+                cursor, cnt = collect(cursor)
+                drain_loop(cnt, leaf_fn)
+                return cursor
+
+            jax.lax.while_loop(
+                lambda c: c < n_nodes, outer_body, jnp.int32(0)
+            )
+            shade = shade_ref[:, :]
+
+            # exact (t, u, v) recompute for the winning face (the in-loop t
+            # used an approximate reciprocal; the winner is re-derived at
+            # full f32 like mesh.cpp:55-92)
+            p0 = (shade[0], shade[1], shade[2])
+            e1 = (shade[3] - p0[0], shade[4] - p0[1], shade[5] - p0[2])
+            e2 = (shade[6] - p0[0], shade[7] - p0[1], shade[8] - p0[2])
+            pvx = d[1] * e2[2] - d[2] * e2[1]
+            pvy = d[2] * e2[0] - d[0] * e2[2]
+            pvz = d[0] * e2[1] - d[1] * e2[0]
+            det = e1[0] * pvx + e1[1] * pvy + e1[2] * pvz
+            okd = jnp.abs(det) > _DET_EPS
+            inv_det = 1.0 / jnp.where(okd, det, 1.0)
+            tvx = o[0] - p0[0]
+            tvy = o[1] - p0[1]
+            tvz = o[2] - p0[2]
+            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1[2] - tvz * e1[1]
+            qvy = tvz * e1[0] - tvx * e1[2]
+            qvz = tvx * e1[1] - tvy * e1[0]
+            vv = (d[0] * qvx + d[1] * qvy + d[2] * qvz) * inv_det
+            tt = (e2[0] * qvx + e2[1] * qvy + e2[2] * qvz) * inv_det
+            face = shade[_M_FACE - _SH]
+            valid = face >= 0.0
+            out_ref[0, :] = jnp.where(valid, tt, BIG)
+            out_ref[1, :] = jnp.where(valid, uu, 0.0)
+            out_ref[2, :] = jnp.where(valid, vv, 0.0)
+            out_ref[3, :] = face
+            # rows 4:28 shade24; 28:33 meta (light, lpv, mat, has_n, has_uv)
+            for r in range(24):
+                out_ref[4 + r, :] = shade[r]
+            out_ref[28, :] = shade[_M_LIGHT - _SH]
+            out_ref[29, :] = shade[_M_LPV - _SH]
+            out_ref[30, :] = shade[_M_MAT - _SH]
+            out_ref[31, :] = shade[_M_HASN - _SH]
+            out_ref[32, :] = shade[_M_HASUV - _SH]
+            for r in range(33, OUT_ROWS):
+                out_ref[r, :] = zero
+
+    return kernel
+
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "mode"))
+def _run(tables: ClusterTables, rays_packed, any_hit=False, mode="tpu"):
+    """rays_packed: (8, N) = [o3, d3, mint, maxt], N a BLOCK multiple.
+    Returns (OUT_ROWS, N) fused rows, or (1, N) [blocked] for any_hit."""
+    n = rays_packed.shape[1]
+    if mode == "shim":
+        return _run_shim(tables, rays_packed, any_hit)
+    out_rows = 1 if any_hit else OUT_ROWS
+    kernel = _make_kernel(any_hit)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // BLOCK,),
+        in_specs=[
+            pl.BlockSpec((8, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                tables.nodes.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (max(out_rows, 8), BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((max(out_rows, 8), n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((MAXV,), jnp.int32),
+            pltpu.VMEM((ROWS - _SH, BLOCK), jnp.float32),
+            pltpu.VMEM((8, BLOCK), jnp.float32),
+        ],
+        interpret=(mode == "interpret"),
+    )(rays_packed, tables.nodes, tables.geo)
+    return out[:out_rows]
+
+
+def _miss_shade():
+    """The (32,) shade column a missed lane carries (face/light = -1)."""
+    col = jnp.zeros(ROWS - _SH, jnp.float32)
+    return col.at[_M_FACE - _SH].set(-1.0).at[_M_LIGHT - _SH].set(-1.0)
+
+
+def _run_shim(tables, rays_packed, any_hit):
+    """Pure-JAX brute-force reference with kernel-identical semantics
+    (chunked over clusters; no traversal -- order only affects exact ties).
+    CPU-backend stand-in so sharding/integration tests run without TPU."""
+    o = rays_packed[0:3].T
+    d = rays_packed[3:6].T
+    mint = rays_packed[6]
+    maxt = rays_packed[7]
+    n = o.shape[0]
+    C = tables.geo.shape[0]
+    feat = jnp.concatenate(
+        [jnp.ones((n, 1)), o, d, jnp.cross(o, d), jnp.zeros((n, 6))], axis=1
+    )  # (N, 16)
+
+    def cluster_tests(geo_c):
+        det = feat @ geo_c[_W_DET : _W_DET + 16]  # (N, K)
+        tn = feat @ geo_c[_W_T : _W_T + 16]
+        un = feat @ geo_c[_W_U : _W_U + 16]
+        vn = feat @ geo_c[_W_V : _W_V + 16]
+        s = jnp.where(det < 0.0, -1.0, 1.0)
+        sd = det * s
+        su = un * s
+        sv = vn * s
+        st = tn * s
+        ok = (
+            (sd > _DET_EPS)
+            & (su >= 0.0)
+            & (su <= sd)
+            & (sv >= 0.0)
+            & (su + sv <= sd)
+            & (st >= mint[:, None] * sd)
+            & (st <= maxt[:, None] * sd)
+        )
+        return ok, st, sd
+
+    if any_hit:
+        def body(c, blocked):
+            geo_c = tables.geo[c]
+            ok, _, _ = cluster_tests(geo_c)
+            inv_light = (geo_c[_M_LIGHT] >= 0.0) & (geo_c[_M_LPV] == 0.0)
+            ok = ok & jnp.logical_not(inv_light)[None, :]
+            return blocked | jnp.any(ok, axis=1)
+
+        blocked = jax.lax.fori_loop(0, C, body, jnp.zeros(n, bool))
+        return jnp.where(blocked, 1.0, 0.0)[None, :]
+
+    def body(c, carry):
+        tbest, cbest, kbest = carry
+        geo_c = tables.geo[c]
+        ok, st, sd = cluster_tests(geo_c)
+        tt = jnp.where(ok, st / jnp.where(ok, sd, 1.0), BIG)
+        cmin = jnp.min(tt, axis=1)
+        kmin = jnp.argmin(tt, axis=1)
+        improved = (cmin < tbest) & (cmin < BIG)
+        return (
+            jnp.where(improved, cmin, tbest),
+            jnp.where(improved, c, cbest),
+            jnp.where(improved, kmin, kbest),
+        )
+
+    tbest, cbest, kbest = jax.lax.fori_loop(
+        0,
+        C,
+        body,
+        (jnp.minimum(maxt, BIG), jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32)),
+    )
+    shade = tables.geo[cbest, _SH:, kbest].T  # (32, N)
+    no_hit = tbest >= jnp.minimum(maxt, BIG)
+    shade = jnp.where(no_hit[None, :], _miss_shade()[:, None], shade)
+    face = shade[_M_FACE - _SH]
+    valid = face >= 0.0
+
+    p0 = shade[0:3].T
+    p1 = shade[3:6].T
+    p2 = shade[6:9].T
+    from .intersect import moller_trumbore
+
+    tt, uu, vv, _ = moller_trumbore(o, d, p0, p1, p2)
+    out = jnp.zeros((OUT_ROWS, n), jnp.float32)
+    out = out.at[0].set(jnp.where(valid, tt, BIG))
+    out = out.at[1].set(jnp.where(valid, uu, 0.0))
+    out = out.at[2].set(jnp.where(valid, vv, 0.0))
+    out = out.at[3].set(jnp.where(valid, face, -1.0))
+    out = out.at[4:28].set(shade[0:24])
+    out = out.at[28].set(shade[_M_LIGHT - _SH])
+    out = out.at[29].set(shade[_M_LPV - _SH])
+    out = out.at[30].set(shade[_M_MAT - _SH])
+    out = out.at[31].set(shade[_M_HASN - _SH])
+    out = out.at[32].set(shade[_M_HASUV - _SH])
+    return out
+
+
+def _mode():
+    return "shim" if jax.default_backend() == "cpu" else "tpu"
+
+
+def _pack_rays(o, d, mint, maxt):
+    n = o.shape[0]
+    pad = (-n) % BLOCK
+    mint = jnp.broadcast_to(mint, (n,))
+    maxt = jnp.broadcast_to(maxt, (n,))
+    rows = [
+        o[:, 0], o[:, 1], o[:, 2],
+        d[:, 0], d[:, 1], d[:, 2],
+        mint, maxt,
+    ]
+    if pad:
+        # padded lanes: degenerate rays that exit on the root slab test
+        rows = [
+            jnp.pad(r, (0, pad), constant_values=v)
+            for r, v in zip(rows, (BIG, BIG, BIG, 1.0, 1.0, 1.0, 0.0, -1.0))
+        ]
+    return jnp.stack(rows, 0), n
+
+
+def trace(tables: ClusterTables, o, d, mint, maxt, mode=None):
+    """Fused nearest-hit + shading-attribute fetch. Returns the raw
+    (OUT_ROWS, N) row matrix; decode with shade/interaction.py:
+    prepare_from_rows. Not differentiable (prepare_from_rows recomputes
+    the differentiable quantities in closed form)."""
+    rays_packed, n = _pack_rays(o, d, mint, maxt)
+    out = _run(tables, rays_packed, any_hit=False, mode=mode or _mode())
+    return out[:, :n]
+
+
+def occluded(tables: ClusterTables, o, d, mint, maxt, mode=None):
+    """Any-hit shadow query ignoring primary-invisible light faces."""
+    rays_packed, n = _pack_rays(o, d, mint, maxt)
+    out = _run(tables, rays_packed, any_hit=True, mode=mode or _mode())
+    return out[0, :n] > 0.0

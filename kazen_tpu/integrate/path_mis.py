@@ -33,43 +33,45 @@ from ..core import math as km
 from ..samplers import streams
 from ..shade import bsdf as bsdf_mod
 from ..shade import lights as lights_mod
-from ..shade.interaction import Interaction, prepare
+from ..shade.interaction import Interaction, prepare, prepare_from_rows
 
 EPSILON = 1e-4  # Ray3f default mint (define.h)
 INF = jnp.float32(3.0e38)
 _MAX_OCCLUSION_STEPS = 8
 
 
-def intersect(scene, rays: Rays):
-    """Scene::rayIntersect: nearest hit. Backend order: Pallas packet trace
-    (accel/mega_trace.py; attached by the scene compiler on TPU backends),
-    then the XLA gather-walk BVH, then the brute-force oracle.
+def intersect_prepare(scene, rays: Rays):
+    """Scene::rayIntersect + post-hit shade prep (accel.cpp:63-236) in one
+    step. With cluster trace tables attached (the TPU production path) the
+    fused Pallas kernel returns the hit *and* the winning face's shading
+    attributes directly from VMEM (accel/cluster_trace.py), so no XLA
+    gathers run at all; otherwise the XLA BVH walk / brute-force oracle is
+    followed by the gather-based ``prepare``.
 
-    The Pallas walk runs on gradient-stopped rays and returns the chosen
-    face; (t, u, v) are recomputed in closed form against that face so
-    gradients flow exactly as in the brute-force oracle (same contract as
-    accel/bvh.py:intersect_bvh)."""
+    The kernel runs on gradient-stopped rays; (t, u, v) and the interaction
+    quantities are recomputed in closed form against the returned rows so
+    gradients flow exactly as in the gather path."""
     tt = getattr(scene, "trace_tables", None)
     if tt is not None:
-        from ..accel import mega_trace
-        from ..accel.bvh import _mt_pre
+        from ..accel import cluster_trace
 
         rays_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, rays)
-        _, _, _, slot = mega_trace.trace(
+        rows = cluster_trace.trace(
             tt, rays_ng.o, rays_ng.d, rays_ng.mint, rays_ng.maxt
         )
-        found = slot >= 0
-        face = tt.slot_face[jnp.maximum(slot, 0)]
-        face = jnp.maximum(face, 0)
-        idx = scene.F[jnp.clip(face, 0, scene.F.shape[0] - 1)]
-        p0 = scene.V[idx[:, 0]]
-        t, u, v, _ = _mt_pre(
-            rays.o, rays.d, p0,
-            scene.V[idx[:, 1]] - p0, scene.V[idx[:, 2]] - p0,
-        )
-        from ..accel.intersect import Hit
+        return prepare_from_rows(rays, rows)
+    hit = intersect(scene, rays)
+    return hit, prepare(scene, rays, hit)
 
-        return Hit(valid=found, t=t, face=face, u=u, v=v)
+
+def intersect(scene, rays: Rays):
+    """Scene::rayIntersect: nearest hit only. Backend order: fused Pallas
+    cluster trace (TPU; see intersect_prepare), XLA gather-walk BVH,
+    brute-force oracle."""
+    tt = getattr(scene, "trace_tables", None)
+    if tt is not None:
+        hit, _ = intersect_prepare(scene, rays)
+        return hit
     bvh = getattr(scene, "bvh", None)
     if bvh is not None:
         from ..accel.bvh import intersect_bvh
@@ -96,12 +98,12 @@ def _occluded_with_stepthrough(scene, static, o, d, mint, maxt, active):
 
     With Pallas trace tables attached, occlusion is instead a single
     any-hit pass that ignores invisible-light faces (the megakernel's
-    epsilon-level deviation, documented in accel/mega_trace.py)."""
+    epsilon-level deviation, documented in accel/cluster_trace.py)."""
     tt = getattr(scene, "trace_tables", None)
     if tt is not None:
-        from ..accel import mega_trace
+        from ..accel import cluster_trace
 
-        return mega_trace.occluded(tt, o, d, mint, maxt) & active
+        return cluster_trace.occluded(tt, o, d, mint, maxt) & active
 
     def cond(state):
         _, _, _, done, steps = state
@@ -226,12 +228,16 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
     lod = None
     if getattr(static, "mip_textures", False):
         # Mip level from a per-segment ray-cone footprint: world width
-        # t * pixel_cone, mapped to uv space through |dpdu| (the OIIO
-        # filtered-lookup analog, texture.cpp:46-64). log2 of the uv
-        # footprint; per-texture resolution is added inside eval_texture.
+        # t * pixel_cone, mapped to uv space through the *larger* of the
+        # two uv-axis footprints, i.e. the smaller of |dpdu|/|dpdv| (the
+        # isotropic-conservative choice; OIIO's EWA would treat the axes
+        # anisotropically, texture.cpp:46-64). log2 of the uv footprint;
+        # per-texture resolution is added inside eval_texture.
         foot_world = jnp.abs(its.t) * static.pixel_cone
-        dpdu_len = jnp.maximum(km.norm(its.dpdu), 1e-6)
-        lod = jnp.log2(jnp.maximum(foot_world / dpdu_len, 1e-9))
+        dp_len = jnp.maximum(
+            jnp.minimum(km.norm(its.dpdu), km.norm(its.dpdv)), 1e-6
+        )
+        lod = jnp.log2(jnp.maximum(foot_world / dp_len, 1e-9))
     ctx = bsdf_mod.make_ctx(
         scene=scene, static=static, mat_id=its.material, uv=its.uv,
         sh_frame=its.sh_frame, dpdu=its.dpdu, wi=wi_local, lod=lod,
@@ -346,8 +352,7 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
         mint=jnp.full(n, static.trace_bias, jnp.float32),
         maxt=jnp.where(alive, INF, -1.0),
     )
-    hit = intersect(scene, rays)
-    new_its = prepare(scene, rays, hit)
+    hit, new_its = intersect_prepare(scene, rays)
 
     n_path_rays = jnp.sum(alive.astype(jnp.float32))
 
@@ -429,8 +434,7 @@ def li_wavefront(scene, static, spec, stream, rays: Rays):
 
 def _li_wavefront_core(scene, static, spec, stream, rays: Rays):
     n = rays.o.shape[0]
-    hit = intersect(scene, rays)
-    its = prepare(scene, rays, hit)
+    hit, its = intersect_prepare(scene, rays)
 
     # Camera-ray punch-through for primary-invisible lights
     # (integrator.cpp:213-220): a single re-cast past the light; if the
@@ -442,8 +446,7 @@ def _li_wavefront_core(scene, static, spec, stream, rays: Rays):
         rays2 = Rays(
             o=o2, d=rays.d, mint=jnp.full(n, EPSILON), maxt=jnp.full(n, INF)
         )
-        hit2 = intersect(scene, rays2)
-        its2 = prepare(scene, rays2, hit2)
+        hit2, its2 = intersect_prepare(scene, rays2)
         take = punch & hit2.valid
 
         def pick(a, b):

@@ -135,9 +135,9 @@ class SceneArrays(NamedTuple):
     focus_distance: jnp.ndarray  # ()
     # acceleration structure (accel/bvh.py); None = brute-force intersection
     bvh: Optional[object] = None
-    # Pallas packet-trace tables (accel/mega_trace.py); attached on TPU
-    # backends for BVH scenes -- path_mis.intersect/occlusion route through
-    # the Pallas kernels when present
+    # Fused Pallas cluster-trace tables (accel/cluster_trace.py); attached
+    # on TPU backends for BVH scenes -- path_mis.intersect_prepare/occlusion
+    # route through the Pallas kernels when present
     trace_tables: Optional[object] = None
     # environment importance tables (built when Background.importance; see
     # _build_env_tables). Zeros-placeholders otherwise so the pytree shape
@@ -671,6 +671,15 @@ def compile_scene(
         regularization = False
         accumulated_roughness = 0.5
 
+    face_shade = np.concatenate(
+        [
+            V[F[:, 0]], V[F[:, 1]], V[F[:, 2]],
+            N[F[:, 0]], N[F[:, 1]], N[F[:, 2]],
+            UV[F[:, 0]], UV[F[:, 1]], UV[F[:, 2]],
+        ],
+        axis=1,
+    ).astype(np.float32) if len(F) else np.zeros((0, 24), np.float32)
+
     if use_bvh is None:
         use_bvh = len(F) > 64
     bvh = None
@@ -679,7 +688,9 @@ def compile_scene(
         from ..accel.bvh import build_bvh
 
         bvh = build_bvh(V, F)
-        # Pallas packet-trace tables: the TPU hot path for ray traversal.
+        # Fused Pallas cluster-trace tables: the TPU hot path for ray
+        # traversal + shade prep (accel/cluster_trace.py). Cluster blocks
+        # live in HBM, so there is no table-size budget.
         # KAZEN_PALLAS_TRACE=0/1 overrides the backend default.
         import os as _os
 
@@ -689,21 +700,26 @@ def compile_scene(
         else:
             _enable_tt = jax.default_backend() not in ("cpu",)
         if _enable_tt:
-            from ..accel.mega_trace import pack_trace_tables
+            from ..accel.cluster_trace import pack_cluster_tables
 
             lid_face = np.asarray(mesh_light, np.int32)[face_mesh]
-            trace_tables = pack_trace_tables(
-                V, F, lid_face, light_primary[: max(L, 1)] if L else None
+            if L:
+                lpv = np.asarray(light_primary[:L], bool)
+                lpv_face = np.where(
+                    lid_face >= 0, lpv[np.maximum(lid_face, 0)], False
+                )
+            else:
+                lpv_face = np.zeros(len(F), bool)
+            trace_tables = pack_cluster_tables(
+                V,
+                F,
+                face_shade,
+                lid_face,
+                lpv_face,
+                np.asarray(mesh_material, np.int32)[face_mesh],
+                np.asarray(mesh_has_normals, bool)[face_mesh],
+                np.asarray(mesh_has_uvs, bool)[face_mesh],
             )
-
-    face_shade = np.concatenate(
-        [
-            V[F[:, 0]], V[F[:, 1]], V[F[:, 2]],
-            N[F[:, 0]], N[F[:, 1]], N[F[:, 2]],
-            UV[F[:, 0]], UV[F[:, 1]], UV[F[:, 2]],
-        ],
-        axis=1,
-    ).astype(np.float32) if len(F) else np.zeros((0, 24), np.float32)
 
     tex_pool = packer.finish()
     has_comp = any(t >= 2 for t in packer.ttypes)

@@ -320,9 +320,10 @@ class Scene:
     rfilter: RFilter = field(default_factory=RFilter)
     background: Optional[Background] = None
     # Filtered (trilinear mip) image-texture minification, the analog of
-    # OIIO's filtered lookups (texture.cpp:46-64). Off by default: level-0
-    # bilinear is the oracle-parity mode.
-    mip_textures: bool = False
+    # OIIO's filtered lookups (texture.cpp:46-64) and therefore the default
+    # (the reference always filters). Set False for level-0 bilinear, the
+    # scalar-oracle parity mode.
+    mip_textures: bool = True
 
 
 def lookat(origin, target, up) -> np.ndarray:

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core import math as km
@@ -30,6 +31,48 @@ class Interaction(NamedTuple):
     valid: jnp.ndarray  # (N,) bool
 
 
+def prepare_from_rows(rays: Rays, rows) -> "tuple[Hit, Interaction]":
+    """Gather-free shade prep from the fused trace kernel's row matrix
+    (accel/cluster_trace.py OUT layout): the kernel already fetched the
+    winning face's vertices/normals/uvs/meta in VMEM, so this stage is pure
+    elementwise math -- the same accel.cpp:113-236 pipeline as ``prepare``
+    but with zero XLA gathers.
+
+    (t, u, v) are recomputed here in closed form against the chosen face so
+    they stay differentiable w.r.t. the rays (the kernel itself runs on
+    gradient-stopped inputs); the fetched geometry rows are constants, as
+    with the gathered path (geometry gradients are not routed either way).
+    """
+    rows = jax.lax.stop_gradient(rows)
+    face_f = rows[3]
+    valid = face_f >= 0.0
+    face = jnp.where(valid, face_f, 0.0).astype(jnp.int32)
+    p0 = rows[4:7].T
+    p1 = rows[7:10].T
+    p2 = rows[10:13].T
+    n0 = rows[13:16].T
+    n1 = rows[16:19].T
+    n2 = rows[19:22].T
+    uv0 = rows[22:24].T
+    uv1 = rows[24:26].T
+    uv2 = rows[26:28].T
+    light = jnp.where(valid, rows[28], -1.0).astype(jnp.int32)
+    material = rows[30].astype(jnp.int32)
+    has_n = rows[31] > 0.0
+    has_uv = rows[32] > 0.0
+
+    from ..accel.intersect import moller_trumbore
+
+    t, u, v, _ = moller_trumbore(rays.o, rays.d, p0, p1, p2)
+    t = jnp.where(valid, t, rows[0])
+    hit = Hit(valid=valid, t=t, face=face, u=u, v=v)
+    its = _prepare_core(
+        hit, p0, p1, p2, n0, n1, n2, uv0, uv1, uv2,
+        jnp.zeros_like(face), material, light, has_n, has_uv,
+    )
+    return hit, its
+
+
 def prepare(scene, rays: Rays, hit: Hit) -> Interaction:
     f = jnp.clip(hit.face, 0, scene.F.shape[0] - 1)
     row = scene.face_shade[f]  # (N, 24): one contiguous gather
@@ -46,7 +89,18 @@ def prepare(scene, rays: Rays, hit: Hit) -> Interaction:
     mesh = scene.face_mesh[f]
     has_n = scene.mesh_has_normals[mesh]
     has_uv = scene.mesh_has_uvs[mesh]
+    material = scene.mesh_material[mesh]
+    light = scene.mesh_light[mesh]
+    return _prepare_core(
+        hit, p0, p1, p2, n0, n1, n2, uv0, uv1, uv2,
+        mesh, material, light, has_n, has_uv,
+    )
 
+
+def _prepare_core(
+    hit, p0, p1, p2, n0, n1, n2, uv0, uv1, uv2,
+    mesh, material, light, has_n, has_uv,
+) -> Interaction:
     b0 = (1.0 - hit.u - hit.v)[:, None]
     b1 = hit.u[:, None]
     b2 = hit.v[:, None]
@@ -109,8 +163,6 @@ def prepare(scene, rays: Rays, hit: Hit) -> Interaction:
     dpdu = jnp.where(uv_ok[:, None], dpdu_uv, fallback.s)
     dpdv = jnp.where(uv_ok[:, None], dpdv_uv, fallback.t)
 
-    material = scene.mesh_material[mesh]
-    light = scene.mesh_light[mesh]
     return Interaction(
         p=p,
         t=hit.t,

@@ -182,8 +182,20 @@ def background_radiance(scene, static, d):
     from .textures import eval_texture_dir
 
     tid = jnp.broadcast_to(scene.bg_tex, d.shape[:-1])
+    lod = None
+    if getattr(static, "mip_textures", False) and static.pixel_cone > 0.0:
+        # constant per-render footprint: one pixel's cone angle mapped
+        # through the lat-long v axis (dv/dlat = 1/pi); per-texture
+        # resolution is added inside eval_texture
+        import numpy as _np
+
+        lod = jnp.full(
+            d.shape[:-1],
+            _np.float32(_np.log2(max(static.pixel_cone / _np.pi, 1e-9))),
+        )
     col = eval_texture_dir(
-        static, scene.textures, tid, d, jnp.broadcast_to(scene.bg_color, d.shape)
+        static, scene.textures, tid, d,
+        jnp.broadcast_to(scene.bg_color, d.shape), lod=lod,
     )
     col = scene.bg_intensity * col
     finite = jnp.all(jnp.isfinite(d), axis=-1)

@@ -162,12 +162,14 @@ def eval_texture(static, pool, tex_id, uv, const_color, lod=None):
     return jnp.where((tex_id >= 0)[..., None], val, const_color)
 
 
-def eval_texture_dir(static, pool, tex_id, d, const_color):
+def eval_texture_dir(static, pool, tex_id, d, const_color, lod=None):
     """Directional (environment) lookup: Blinn/Newell lat-long mapping, the
     convention intended by the reference (scene.cpp:58-63 commented block /
     OIIO environment): u = (atan2(x, z) + pi) / 2pi, v = (asin(y) + pi/2)/pi.
+    ``lod``: log2 uv-footprint for mip-filtered env lookups (the OIIO
+    environment() call filters too); None = level-0 bilinear.
     """
     u = (jnp.arctan2(d[..., 0], d[..., 2]) + jnp.pi) * km.INV_TWOPI
     v = (jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0)) + 0.5 * jnp.pi) * km.INV_PI
     uv = jnp.stack([u, v], -1)
-    return eval_texture(static, pool, tex_id, uv, const_color)
+    return eval_texture(static, pool, tex_id, uv, const_color, lod=lod)

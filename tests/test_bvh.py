@@ -89,23 +89,6 @@ def test_cornell_render_with_bvh_matches_brute():
     np.testing.assert_allclose(img0, img1, atol=1e-5)
 
 
-def test_pallas_packet_traversal_matches_brute():
-    from kazen_tpu.accel import pallas_traverse as pt
-
-    V, F = random_soup(300, 2)
-    bvh = bvh_mod.build_bvh(V, F)
-    scene = _FakeScene(V, F, bvh)
-    rays = random_rays(2048, 9)
-    nodes, tris = pt.pack_bvh(bvh)
-    got = pt.traverse_packets(nodes, tris, rays, interpret=True)
-    want = intersect_brute(scene, rays)
-    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
-    m = np.asarray(want.valid)
-    np.testing.assert_allclose(
-        np.asarray(got.t)[m], np.asarray(want.t)[m], rtol=1e-5
-    )
-
-
 def test_native_builder_matches_semantics():
     """C++ builder produces a valid escape-link BVH whose traversal matches
     brute force (structure may differ from the numpy builder; results must

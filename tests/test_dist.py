@@ -13,6 +13,7 @@ from kazen_tpu.dist.sharding import (
     inverse_train_step,
     make_mesh,
     render_distributed,
+    render_sample_sharded,
 )
 
 
@@ -24,6 +25,35 @@ def test_distributed_matches_single():
     mesh = make_mesh()
     dist = np.asarray(render_distributed(mesh, arrays, static, spp=2))
     np.testing.assert_allclose(single, dist, atol=1e-5)
+
+
+def test_sample_sharded_matches_single():
+    """pixels x sample-batches lane axis over shard_map (SURVEY §2.8's
+    sample-dimension sharding): the per-bounce wavefront re-sort runs
+    shard-local and the only collective is the film psum; the image must
+    equal the serial render (counter-based streams are lane-placement
+    independent)."""
+    import os
+
+    os.environ["KAZEN_PALLAS_TRACE"] = "1"
+    try:
+        scene = scenes.cornell_box(width=16, height=16, spp=4)
+        scene.meshes.append(
+            scenes.sphere_mesh((0.3, 0.5, 0.3), 0.35, nu=10, nv=10)
+        )
+        arrays, static = compile_scene(scene)
+        assert arrays.trace_tables is not None
+    finally:
+        del os.environ["KAZEN_PALLAS_TRACE"]
+    single = np.asarray(render(arrays, static, spp=4))
+    mesh = make_mesh()
+    for batches in (2, 4):
+        dist = np.asarray(
+            render_sample_sharded(
+                mesh, arrays, static, spp=4, sample_batches=batches
+            )
+        )
+        np.testing.assert_allclose(single, dist, atol=1e-5)
 
 
 def test_sharded_inverse_step_grads_match():

@@ -1,63 +1,74 @@
 #!/usr/bin/env python
-"""Benchmark: rays/s/chip on a 1080p Cornell-style scene (BASELINE metric).
+"""Benchmark: rays/s/chip on the reference's own hero content.
 
-Runs the jitted wavefront render pass on the default JAX device (the real
-TPU chip under the driver), times steady-state sample passes, and reports
-useful rays/s (primary + NEE shadow + path rays, counted per-lane inside
-the integrator). vs_baseline compares our pixel-samples/s against the
-reference's best published anchor (12.1 Mpixel-samples/s look-dev frame,
-BASELINE.md) -- the reference publishes no rays/s.
+Headline: the 36,378-face kiss parameter-sweep scene the reference
+showcases (scene/2022_q1/parameters/default_m0_r0.5.xml, imported through
+scene/xml_io.py) at 1080p, depth 5 -- the scene class behind the
+reference's published anchors (README.md:33-34, look-dev frame at 12.1
+Mpixel-samples/s, doc/2022_q1/2022_q1_report.md:226). vs_baseline is our
+pixel-samples/s against that 12.1M anchor.
+
+Secondary (detail): the 12-triangle Cornell-style toy on the megakernel
+fast path, for continuity with BENCH_r01/r02.
 
 Prints ONE json line.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+HERO_XML = "/root/reference/scene/2022_q1/parameters/default_m0_r0.5.xml"
+REF_ANCHOR = 12.1e6  # pixel-samples/s, BASELINE.md look-dev frame
 
-def main():
-    import os
+
+def _timed_passes(run, film, args, jump_for, n_timed):
     import jax
 
-    if os.environ.get("BENCH_PLATFORM"):
-        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
-    # persistent compilation cache: the 1080p program takes minutes to
-    # compile via the remote TPU compiler; cache across bench runs
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
+    # warmup / compile
+    film, nrays = run(*args, film, jnp_u32(0), jump_for(0))
+    nrays_f = float(nrays)
+    t0 = time.time()
+    for s in range(1, 1 + n_timed):
+        film, nrays = run(*args, film, jnp_u32(s), jump_for(s))
+    jax.block_until_ready(film)
+    _ = float(nrays)
+    dt = (time.time() - t0) / n_timed
+    return dt, nrays_f
+
+
+def jnp_u32(x):
     import jax.numpy as jnp
 
-    sys.path.insert(0, ".")
-    from __graft_entry__ import _tiny_scene
+    return jnp.uint32(x)
+
+
+def bench_scene(arrays, static, n_timed=3):
+    """Time steady-state 1-spp passes of the compiled scene; returns
+    (pass_seconds, rays_per_pass, lanes)."""
+    import jax
+    import jax.numpy as jnp
+
     from kazen_tpu.core import rng
     from kazen_tpu.film import film as film_mod
     from kazen_tpu.integrate import camera as camera_mod
     from kazen_tpu.integrate.render import li_fn_for, sampler_spec
     from kazen_tpu.samplers import streams
 
-    width = int(os.environ.get("BENCH_WIDTH", 1920))
-    height = int(os.environ.get("BENCH_HEIGHT", 1080))
-    arrays, static = _tiny_scene(width=width, height=height)
     spec = sampler_spec(static)
-
-    ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    h, w = static.height, static.width
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     px = jnp.asarray(xs.reshape(-1).astype(np.uint32))
     py = jnp.asarray(ys.reshape(-1).astype(np.uint32))
 
-    def one_pass(scene, film, px, py, sample_index, jump):
+    def one_pass(scene, film, sample_index, jump):
         stream = streams.init_stream_jump(spec, px, py, sample_index, jump)
         stream, jitter = streams.next_pixel_2d(spec, stream)
         pixel_sample = jnp.stack([px, py], -1).astype(jnp.float32) + jitter
         stream, aperture = streams.next_2d(spec, stream)
         rays = camera_mod.sample_ray(scene, static, pixel_sample, aperture)
-        # li_fn_for picks the Pallas megakernel fast path on TPU backends
-        # (integrate/megakernel.py) and the XLA wavefront otherwise
         _, li, nrays = li_fn_for(static)(scene, static, spec, stream, rays)
         return film_mod.splat_grid(static, film, jitter, li), nrays
 
@@ -71,34 +82,93 @@ def main():
             (jnp.uint32(c >> 32), jnp.uint32(c & 0xFFFFFFFF)),
         )
 
-    # warmup / compile
-    film, nrays = run(arrays, film, px, py, jnp.uint32(0), jump_for(0))
-    nrays_f = float(nrays)
+    dt, nrays = _timed_passes(run, film, (arrays,), jump_for, n_timed)
+    return dt, nrays, w * h
 
-    n_timed = 4
-    t0 = time.time()
-    for s in range(1, 1 + n_timed):
-        film, nrays = run(arrays, film, px, py, jnp.uint32(s), jump_for(s))
-    _ = float(nrays)  # sync
-    dt = (time.time() - t0) / n_timed
 
-    lanes = width * height
-    rays_per_s = nrays_f / dt
-    pixel_samples_per_s = lanes / dt
-    ref_anchor = 12.1e6  # Mpixel-samples/s, BASELINE.md look-dev frame
-    out = {
-        "metric": "rays/s/chip (primary+shadow+path) 1080p Cornell-style",
-        "value": rays_per_s,
-        "unit": "rays/s",
-        "vs_baseline": pixel_samples_per_s / ref_anchor,
-        "detail": {
-            "pixel_samples_per_s": pixel_samples_per_s,
-            "rays_per_pass": nrays_f,
+def main():
+    import jax
+
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    # persistent compilation cache: the 1080p program takes minutes to
+    # compile via the remote TPU compiler; cache across bench runs
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    detail = {"device": str(jax.devices()[0])}
+
+    # ---- headline: the reference hero scene -------------------------------
+    width = int(os.environ.get("BENCH_WIDTH", 1920))
+    height = int(os.environ.get("BENCH_HEIGHT", 1080))
+    if os.path.exists(HERO_XML):
+        from kazen_tpu.scene import xml_io
+        from kazen_tpu.scene.compiler import compile_scene
+
+        desc = xml_io.load_xml(HERO_XML)
+        desc.camera.width = width
+        desc.camera.height = height
+        arrays, static = compile_scene(desc)
+        dt, nrays, lanes = bench_scene(
+            arrays, static, n_timed=int(os.environ.get("BENCH_PASSES", 3))
+        )
+        rays_per_s = nrays / dt
+        px_samp_per_s = lanes / dt
+        detail["hero"] = {
+            "scene": os.path.basename(HERO_XML),
+            "faces": int(arrays.F.shape[0]),
+            "resolution": f"{width}x{height}",
             "pass_seconds": dt,
-            "device": str(jax.devices()[0]),
-        },
-    }
-    print(json.dumps(out))
+            "rays_per_pass": nrays,
+            "pixel_samples_per_s": px_samp_per_s,
+        }
+        headline = rays_per_s
+        vs_baseline = px_samp_per_s / REF_ANCHOR
+        metric = (
+            "rays/s/chip (primary+shadow+path), reference 36k-face kiss "
+            "scene, 1080p depth-5"
+        )
+    else:  # reference tree absent: fall back to the toy so bench still runs
+        headline = None
+        metric = "rays/s/chip 1080p Cornell-style (hero scene unavailable)"
+        vs_baseline = 0.0
+
+    # ---- secondary: the 12-tri toy (megakernel path, r01/r02 continuity) --
+    try:
+        from __graft_entry__ import _tiny_scene
+
+        t_arrays, t_static = _tiny_scene(width=1920, height=1080)
+        dt_t, nrays_t, lanes_t = bench_scene(t_arrays, t_static, n_timed=2)
+        detail["toy_cornell"] = {
+            "rays_per_s": nrays_t / dt_t,
+            "pixel_samples_per_s": lanes_t / dt_t,
+            "pass_seconds": dt_t,
+        }
+        if headline is None:
+            headline = nrays_t / dt_t
+            vs_baseline = (lanes_t / dt_t) / REF_ANCHOR
+    except Exception as e:  # toy failure must not sink the headline
+        detail["toy_cornell"] = {"error": repr(e)}
+
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": headline,
+                "unit": "rays/s",
+                "vs_baseline": vs_baseline,
+                "detail": detail,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

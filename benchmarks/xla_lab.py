@@ -14,21 +14,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timed(fn, *args, n=5):
-    import jax
+_LAT = [0.0]
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+
+def timed(fn, *args, n=5):
+    """block_until_ready through the axon tunnel does not actually wait, so
+    force a full-result device->host sync (float of a sum) per iteration
+    and subtract the measured empty round-trip latency."""
+    import jax
+    import jax.numpy as jnp
+
+    def total(x):
+        return sum(
+            float(jnp.sum(l.astype(jnp.float32)))
+            for l in jax.tree_util.tree_leaves(x)
+        )
+
+    total(fn(*args))  # compile+warm
     t0 = time.time()
     for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / n
+        total(fn(*args))
+    return max((time.time() - t0) / n - _LAT[0], 0.0)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--lanes", type=int, default=518400)
+    ap.add_argument("--lanes", type=int, default=518144)  # 1024-multiple
     args = ap.parse_args()
     n = args.lanes
 
@@ -56,6 +67,11 @@ def main():
     blocks = jnp.asarray(rng.random((n // 1024, 288), dtype=np.float32))
 
     results = {}
+
+    # empty round-trip latency (scalar identity), subtracted from all rows
+    _LAT[0] = 0.0
+    _LAT[0] = timed(jax.jit(lambda s: s + 1.0), jnp.float32(0.0), n=10)
+    results["(round-trip latency)"] = _LAT[0]
 
     results["argsort u32"] = timed(jax.jit(jnp.argsort), keys)
     results["sort-keys u32 (values only)"] = timed(jax.jit(jnp.sort), keys)

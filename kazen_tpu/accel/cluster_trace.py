@@ -86,10 +86,18 @@ OUT_ROWS = 40
 
 _HIGH = jax.lax.Precision.HIGHEST
 
+# drain path: max cluster count servable by the sorted-candidate kernel
+# (SMEM row budget); bigger scenes use the shared-cursor walk kernel.
+DRAIN_MAX_LEAVES = 2048
+
 
 class ClusterTables(NamedTuple):
     nodes: jnp.ndarray  # (Rn, 128) f32, VMEM-resident in-kernel
     geo: jnp.ndarray  # (C, ROWS, 128) f32, HBM; DMA'd per leaf visit
+    # cluster AABBs in cluster order, (Cpad, 6) f32 [min3 max3]; padded
+    # clusters carry an empty box (min=BIG, max=-BIG) so the frustum cull
+    # never selects them. Used by the drain path (frustum_cull).
+    leaf_bounds: jnp.ndarray
 
 
 def pack_cluster_tables(
@@ -170,9 +178,160 @@ def pack_cluster_tables(
         node[mn:, 0:3] = BIG
         node[mn:, 3:6] = -BIG
         node[mn:, 6] = float(mn + mpad)
+
+    # minor-dim padding to 128: the drain path DMAs (1, Cpad) candidate
+    # rows, and Mosaic requires 128-aligned slices along the lane dim
+    cpad = (-C) % 128
+    leaf_bounds = np.full((C + cpad, 6), BIG, np.float32)
+    leaf_bounds[:, 3:6] = -BIG
+    leaf_bounds[:C, 0:3] = np.asarray(bvh.bounds_min)[leaf_nodes]
+    leaf_bounds[:C, 3:6] = np.asarray(bvh.bounds_max)[leaf_nodes]
     return ClusterTables(
         nodes=jnp.asarray(node.reshape(-1, 128)),
         geo=jnp.asarray(geo),
+        leaf_bounds=jnp.asarray(leaf_bounds),
+    )
+
+
+# ---- shared in-kernel pieces (walk + drain kernels) -------------------------
+
+
+def _ray_features(rays_ref):
+    """Unpack a (8, BLOCK) ray block and build the 16-row MT feature
+    matrix [1, o, d, m = o x d] (see module docstring idea 2)."""
+    o = (rays_ref[0, :], rays_ref[1, :], rays_ref[2, :])
+    d = (rays_ref[3, :], rays_ref[4, :], rays_ref[5, :])
+    mint = rays_ref[6, :]
+    maxt = rays_ref[7, :]
+    m = (
+        o[1] * d[2] - o[2] * d[1],
+        o[2] * d[0] - o[0] * d[2],
+        o[0] * d[1] - o[1] * d[0],
+    )
+    zero = jnp.zeros_like(o[0])
+    feat = jnp.stack(
+        [jnp.ones_like(zero), o[0], o[1], o[2], d[0], d[1], d[2],
+         m[0], m[1], m[2], zero, zero, zero, zero, zero, zero],
+        axis=0,
+    )  # (16, BLOCK)
+    return o, d, mint, maxt, feat, zero
+
+
+def _mt_signed(blk, feat, mint, maxt):
+    """(ok, st, sd) over (K, BLOCK): sign-folded MT tests on the MXU."""
+    dg = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_HIGH,
+    )
+    det = dg(blk[_W_DET : _W_DET + 16], feat)
+    tn = dg(blk[_W_T : _W_T + 16], feat)
+    un = dg(blk[_W_U : _W_U + 16], feat)
+    vn = dg(blk[_W_V : _W_V + 16], feat)
+    s = jnp.where(det < 0.0, -1.0, 1.0)
+    sd = det * s
+    su = un * s
+    sv = vn * s
+    st = tn * s
+    ok = (
+        (sd > _DET_EPS)
+        & (su >= 0.0)
+        & (su <= sd)
+        & (sv >= 0.0)
+        & (su + sv <= sd)
+        & (st >= mint[None, :] * sd)
+        & (st <= maxt[None, :] * sd)
+    )
+    return ok, st, sd
+
+
+def _nearest_leaf(blk, feat, mint, maxt, iota_k, aux_ref, shade_ref):
+    """Test one cluster block against the ray block; keep per-lane best t
+    (aux row 0) and the winner's 32 attribute rows (shade_ref)."""
+    tbest = aux_ref[0, :]
+    ok, st, sd = _mt_signed(blk, feat, mint, maxt)
+    tt = jnp.where(ok, st * pl.reciprocal(sd, approx=True), BIG)
+    leaf_min = jnp.min(tt, axis=0)
+    improved = (leaf_min < tbest) & (leaf_min < BIG)
+    kwin = jnp.argmin(tt, axis=0)
+    onehot = jnp.where(
+        (iota_k == kwin[None, :]) & improved[None, :], 1.0, 0.0
+    )
+    fetched = jax.lax.dot_general(
+        blk[_SH:],
+        onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_HIGH,
+    )  # (32, BLOCK)
+    shade_ref[:, :] = jnp.where(
+        improved[None, :], fetched, shade_ref[:, :]
+    )
+    aux_ref[0, :] = jnp.where(improved, leaf_min, tbest)
+
+
+def _anyhit_leaf_blocked(blk, feat, mint, maxt):
+    """Per-lane 'this cluster blocks the segment' bool; primary-invisible
+    lights do not block (integrator.cpp:259-278 step-through). Mask kept
+    in f32 -- Mosaic cannot minor-dim-broadcast i1 vectors."""
+    ok, _, _ = _mt_signed(blk, feat, mint, maxt)
+    can_block = jnp.where(
+        (blk[_M_LIGHT] >= 0.0) & (blk[_M_LPV] == 0.0), 0.0, 1.0
+    )
+    ok = ok & (can_block[:, None] > 0.5)
+    return jnp.any(ok, axis=0)
+
+
+def _write_nearest_out(out_ref, shade, o, d, zero):
+    """Exact (t, u, v) recompute for the winning face (the in-loop t used
+    an approximate reciprocal; the winner is re-derived at full f32 like
+    mesh.cpp:55-92), then the fused 40-row output write."""
+    p0 = (shade[0], shade[1], shade[2])
+    e1 = (shade[3] - p0[0], shade[4] - p0[1], shade[5] - p0[2])
+    e2 = (shade[6] - p0[0], shade[7] - p0[1], shade[8] - p0[2])
+    pvx = d[1] * e2[2] - d[2] * e2[1]
+    pvy = d[2] * e2[0] - d[0] * e2[2]
+    pvz = d[0] * e2[1] - d[1] * e2[0]
+    det = e1[0] * pvx + e1[1] * pvy + e1[2] * pvz
+    okd = jnp.abs(det) > _DET_EPS
+    inv_det = 1.0 / jnp.where(okd, det, 1.0)
+    tvx = o[0] - p0[0]
+    tvy = o[1] - p0[1]
+    tvz = o[2] - p0[2]
+    uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1[2] - tvz * e1[1]
+    qvy = tvz * e1[0] - tvx * e1[2]
+    qvz = tvx * e1[1] - tvy * e1[0]
+    vv = (d[0] * qvx + d[1] * qvy + d[2] * qvz) * inv_det
+    tt = (e2[0] * qvx + e2[1] * qvy + e2[2] * qvz) * inv_det
+    face = shade[_M_FACE - _SH]
+    valid = face >= 0.0
+    out_ref[0, :] = jnp.where(valid, tt, BIG)
+    out_ref[1, :] = jnp.where(valid, uu, 0.0)
+    out_ref[2, :] = jnp.where(valid, vv, 0.0)
+    out_ref[3, :] = face
+    # rows 4:28 shade24; 28:33 meta (light, lpv, mat, has_n, has_uv)
+    for r in range(24):
+        out_ref[4 + r, :] = shade[r]
+    out_ref[28, :] = shade[_M_LIGHT - _SH]
+    out_ref[29, :] = shade[_M_LPV - _SH]
+    out_ref[30, :] = shade[_M_MAT - _SH]
+    out_ref[31, :] = shade[_M_HASN - _SH]
+    out_ref[32, :] = shade[_M_HASUV - _SH]
+    for r in range(33, OUT_ROWS):
+        out_ref[r, :] = zero
+
+
+def _init_shade(shade_ref):
+    """Miss sentinel rows (face/light = -1, rest 0)."""
+    row_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (ROWS - _SH, shade_ref.shape[1]), 0
+    )
+    shade_ref[:, :] = jnp.where(
+        (row_ids == _M_FACE - _SH) | (row_ids == _M_LIGHT - _SH),
+        -1.0,
+        0.0,
     )
 
 
@@ -188,25 +347,9 @@ def _make_kernel(any_hit: bool):
         rays_ref, nodes_ref, geo_ref, out_ref,
         buf_ref, sem_ref, list_ref, shade_ref, aux_ref,
     ):
-        o = (rays_ref[0, :], rays_ref[1, :], rays_ref[2, :])
-        d = (rays_ref[3, :], rays_ref[4, :], rays_ref[5, :])
-        mint = rays_ref[6, :]
-        maxt = rays_ref[7, :]
+        o, d, mint, maxt, feat, zero = _ray_features(rays_ref)
         inv = tuple(1.0 / jnp.where(jnp.abs(c) < 1e-20, 1e-20, c) for c in d)
         n_nodes = nodes_ref.shape[0] * 2
-
-        # ray features [1, o, d, m = o x d] padded to 16 rows
-        m = (
-            o[1] * d[2] - o[2] * d[1],
-            o[2] * d[0] - o[0] * d[2],
-            o[0] * d[1] - o[1] * d[0],
-        )
-        zero = jnp.zeros_like(o[0])
-        feat = jnp.stack(
-            [jnp.ones_like(zero), o[0], o[1], o[2], d[0], d[1], d[2],
-             m[0], m[1], m[2], zero, zero, zero, zero, zero, zero],
-            axis=0,
-        )  # (16, BLOCK)
 
         def node_vals(cursor):
             nrow = nodes_ref[jax.lax.shift_right_logical(cursor, 1), :]
@@ -274,34 +417,6 @@ def _make_kernel(any_hit: bool):
 
             return jax.lax.while_loop(cond, body, (cursor, jnp.int32(0)))
 
-        def mt_signed(blk):
-            """(ok, st, sd) over (K, BLOCK): sign-folded MT tests."""
-            dg = functools.partial(
-                jax.lax.dot_general,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_HIGH,
-            )
-            det = dg(blk[_W_DET : _W_DET + 16], feat)
-            tn = dg(blk[_W_T : _W_T + 16], feat)
-            un = dg(blk[_W_U : _W_U + 16], feat)
-            vn = dg(blk[_W_V : _W_V + 16], feat)
-            s = jnp.where(det < 0.0, -1.0, 1.0)
-            sd = det * s
-            su = un * s
-            sv = vn * s
-            st = tn * s
-            ok = (
-                (sd > _DET_EPS)
-                & (su >= 0.0)
-                & (su <= sd)
-                & (sv >= 0.0)
-                & (su + sv <= sd)
-                & (st >= mint[None, :] * sd)
-                & (st <= maxt[None, :] * sd)
-            )
-            return ok, st, sd
-
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, BLOCK), 0)
 
         def drain_loop(cnt, leaf_fn):
@@ -331,15 +446,8 @@ def _make_kernel(any_hit: bool):
             aux_ref[1, :] = zero
 
             def leaf_fn(blk):
-                ok, _, _ = mt_signed(blk)
-                # primary-invisible lights do not block
-                # (integrator.cpp:259-278 step-through). Keep the mask in
-                # f32 -- Mosaic cannot minor-dim-broadcast i1 vectors.
-                can_block = jnp.where(
-                    (blk[_M_LIGHT] >= 0.0) & (blk[_M_LPV] == 0.0), 0.0, 1.0
-                )
-                ok = ok & (can_block[:, None] > 0.5)
-                blocked = (aux_ref[1, :] > 0.0) | jnp.any(ok, axis=0)
+                hit = _anyhit_leaf_blocked(blk, feat, mint, maxt)
+                blocked = (aux_ref[1, :] > 0.0) | hit
                 aux_ref[1, :] = jnp.where(blocked, 1.0, 0.0)
                 aux_ref[0, :] = jnp.where(blocked, -1.0, maxt)
 
@@ -363,36 +471,12 @@ def _make_kernel(any_hit: bool):
             # aux row 0: per-lane best t (doubles as the walk prune tmax);
             # shade_ref: the winner's 32 attribute rows
             aux_ref[0, :] = jnp.minimum(maxt, BIG)
-            row_ids = jax.lax.broadcasted_iota(
-                jnp.int32, (ROWS - _SH, BLOCK), 0
-            )
-            shade_ref[:, :] = jnp.where(
-                (row_ids == _M_FACE - _SH) | (row_ids == _M_LIGHT - _SH),
-                -1.0,
-                0.0,
-            )
+            _init_shade(shade_ref)
 
             def leaf_fn(blk):
-                tbest = aux_ref[0, :]
-                ok, st, sd = mt_signed(blk)
-                tt = jnp.where(ok, st * pl.reciprocal(sd, approx=True), BIG)
-                leaf_min = jnp.min(tt, axis=0)
-                improved = (leaf_min < tbest) & (leaf_min < BIG)
-                kwin = jnp.argmin(tt, axis=0)
-                onehot = jnp.where(
-                    (iota_k == kwin[None, :]) & improved[None, :], 1.0, 0.0
+                _nearest_leaf(
+                    blk, feat, mint, maxt, iota_k, aux_ref, shade_ref
                 )
-                fetched = jax.lax.dot_general(
-                    blk[_SH:],
-                    onehot,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_HIGH,
-                )  # (32, BLOCK)
-                shade_ref[:, :] = jnp.where(
-                    improved[None, :], fetched, shade_ref[:, :]
-                )
-                aux_ref[0, :] = jnp.where(improved, leaf_min, tbest)
 
             def outer_body(cursor):
                 cursor, cnt = collect(cursor)
@@ -402,48 +486,256 @@ def _make_kernel(any_hit: bool):
             jax.lax.while_loop(
                 lambda c: c < n_nodes, outer_body, jnp.int32(0)
             )
-            shade = shade_ref[:, :]
-
-            # exact (t, u, v) recompute for the winning face (the in-loop t
-            # used an approximate reciprocal; the winner is re-derived at
-            # full f32 like mesh.cpp:55-92)
-            p0 = (shade[0], shade[1], shade[2])
-            e1 = (shade[3] - p0[0], shade[4] - p0[1], shade[5] - p0[2])
-            e2 = (shade[6] - p0[0], shade[7] - p0[1], shade[8] - p0[2])
-            pvx = d[1] * e2[2] - d[2] * e2[1]
-            pvy = d[2] * e2[0] - d[0] * e2[2]
-            pvz = d[0] * e2[1] - d[1] * e2[0]
-            det = e1[0] * pvx + e1[1] * pvy + e1[2] * pvz
-            okd = jnp.abs(det) > _DET_EPS
-            inv_det = 1.0 / jnp.where(okd, det, 1.0)
-            tvx = o[0] - p0[0]
-            tvy = o[1] - p0[1]
-            tvz = o[2] - p0[2]
-            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-            qvx = tvy * e1[2] - tvz * e1[1]
-            qvy = tvz * e1[0] - tvx * e1[2]
-            qvz = tvx * e1[1] - tvy * e1[0]
-            vv = (d[0] * qvx + d[1] * qvy + d[2] * qvz) * inv_det
-            tt = (e2[0] * qvx + e2[1] * qvy + e2[2] * qvz) * inv_det
-            face = shade[_M_FACE - _SH]
-            valid = face >= 0.0
-            out_ref[0, :] = jnp.where(valid, tt, BIG)
-            out_ref[1, :] = jnp.where(valid, uu, 0.0)
-            out_ref[2, :] = jnp.where(valid, vv, 0.0)
-            out_ref[3, :] = face
-            # rows 4:28 shade24; 28:33 meta (light, lpv, mat, has_n, has_uv)
-            for r in range(24):
-                out_ref[4 + r, :] = shade[r]
-            out_ref[28, :] = shade[_M_LIGHT - _SH]
-            out_ref[29, :] = shade[_M_LPV - _SH]
-            out_ref[30, :] = shade[_M_MAT - _SH]
-            out_ref[31, :] = shade[_M_HASN - _SH]
-            out_ref[32, :] = shade[_M_HASUV - _SH]
-            for r in range(33, OUT_ROWS):
-                out_ref[r, :] = zero
+            _write_nearest_out(out_ref, shade_ref[:, :], o, d, zero)
 
     return kernel
 
+
+
+# ---- drain path: XLA frustum cull + sorted-candidate drain kernel ----------
+#
+# The walk kernel serializes a per-block shared-cursor tree walk: one
+# scalar node step + one vector slab test + one cross-lane reduction per
+# node, ~0.2-1us each -- the measured trace cost is walk-bound, not
+# test-bound. The drain path removes the in-kernel walk entirely:
+#
+#   1. XLA computes each 1024-ray block's *frustum* (origin box, direction
+#      box, [mint, maxt] hull) with one minor-axis reduction, then runs a
+#      conservative interval-arithmetic slab test of every cluster AABB
+#      against every block frustum as dense vector math (B x C x ~60
+#      flops), sorts the surviving clusters front-to-back by their entry-t
+#      lower bound, and emits per-block candidate lists.
+#   2. The kernel is pure drain: DMA candidate cluster i+1 while MXU-testing
+#      candidate i, with an all-lanes early exit as soon as no remaining
+#      cluster can beat every lane's current best hit (t_lb of the sorted
+#      list bounds every hit t inside that cluster for every ray in the
+#      block, so `max_lanes(tbest) <= t_lb[next]` is exact).
+#
+# Correctness: the interval test is conservative (no false negatives), so
+# the candidate list is a superset of the clusters any contained ray's
+# segment intersects; extra visits only re-test and never change the
+# nearest hit; the early exit requires *strict* improvement, matching the
+# walk kernel's `leaf_min < tbest`.
+
+
+def _cull(leaf_bounds, rays_packed):
+    """Conservative per-block candidate clusters, front-to-back.
+
+    leaf_bounds: (C, 6) [min3 max3], empty boxes for padding.
+    rays_packed: (8, N), N a BLOCK multiple.
+    Returns (cand (B, C) int32 cluster ids, -1 past the end;
+             tlb  (B, C) f32 sorted entry-t lower bounds, BIG past end).
+    """
+    r = rays_packed.reshape(8, -1, BLOCK)
+    olo = r[0:3].min(axis=2)  # (3, B)
+    ohi = r[0:3].max(axis=2)
+    dlo = r[3:6].min(axis=2)
+    dhi = r[3:6].max(axis=2)
+    mintlo = r[6].min(axis=1)  # (B,)
+    tmaxhi = r[7].max(axis=1)
+
+    bmin = leaf_bounds[:, 0:3].T  # (3, C)
+    bmax = leaf_bounds[:, 3:6].T
+
+    tn_lo = None
+    tf_hi = None
+    for a in range(3):
+        d0 = dlo[a][:, None]  # (B, 1)
+        d1 = dhi[a][:, None]
+        straddle = (d0 <= 0.0) & (d1 >= 0.0)
+        s0 = jnp.where(straddle, 1.0, d0)
+        s1 = jnp.where(straddle, 1.0, d1)
+        i0, i1 = 1.0 / s0, 1.0 / s1
+        ilo = jnp.minimum(i0, i1)
+        ihi = jnp.maximum(i0, i1)
+        # (bplane - o) intervals for both slab planes
+        lo_a = olo[a][:, None]
+        hi_a = ohi[a][:, None]
+        A0 = bmin[a][None, :] - hi_a  # (B, C)
+        A1 = bmin[a][None, :] - lo_a
+        B0 = bmax[a][None, :] - hi_a
+        B1 = bmax[a][None, :] - lo_a
+        tA_lo = jnp.minimum(
+            jnp.minimum(A0 * ilo, A0 * ihi), jnp.minimum(A1 * ilo, A1 * ihi)
+        )
+        tA_hi = jnp.maximum(
+            jnp.maximum(A0 * ilo, A0 * ihi), jnp.maximum(A1 * ilo, A1 * ihi)
+        )
+        tB_lo = jnp.minimum(
+            jnp.minimum(B0 * ilo, B0 * ihi), jnp.minimum(B1 * ilo, B1 * ihi)
+        )
+        tB_hi = jnp.maximum(
+            jnp.maximum(B0 * ilo, B0 * ihi), jnp.maximum(B1 * ilo, B1 * ihi)
+        )
+        a_lo = jnp.where(straddle, -BIG, jnp.minimum(tA_lo, tB_lo))
+        a_hi = jnp.where(straddle, BIG, jnp.maximum(tA_hi, tB_hi))
+        tn_lo = a_lo if tn_lo is None else jnp.maximum(tn_lo, a_lo)
+        tf_hi = a_hi if tf_hi is None else jnp.minimum(tf_hi, a_hi)
+
+    t_lb = jnp.maximum(jnp.maximum(tn_lo, mintlo[:, None]), 0.0)
+    # inverted (padding) boxes pass a min/max slab test -- the per-axis
+    # near/far collapse to -/+huge -- so reject them explicitly: a pad id
+    # in the candidate list would DMA out of geo's bounds in the kernel
+    valid_box = (leaf_bounds[:, 0] <= leaf_bounds[:, 3])[None, :]
+    ok = (
+        valid_box
+        & (tn_lo <= tf_hi)
+        & (tf_hi >= mintlo[:, None])
+        & (t_lb <= tmaxhi[:, None])
+    )
+    vals = jnp.where(ok, t_lb, BIG)
+    order = jnp.argsort(vals, axis=1)
+    svals = jnp.take_along_axis(vals, order, axis=1)
+    cand = jnp.where(svals < BIG, order, -1).astype(jnp.int32)
+    return cand, svals
+
+
+def _make_drain_kernel(any_hit: bool):
+    def kernel(
+        rays_ref, cl_ref, geo_ref, out_ref,
+        buf_ref, sem_ref, cl_smem, shade_ref, aux_ref,
+    ):
+        # cl_ref: (B, 8, CAP) f32; sublane 0 = candidate cluster ids (f32,
+        # exact), sublane 1 = sorted entry-t lower bounds. A 3D leading-dim
+        # slice keeps the trailing (8, CAP) tile intact (Mosaic requires
+        # tile-aligned trailing dims on sliced DMAs).
+        b = pl.program_id(0)
+        cap = cl_smem.shape[1]
+        cdma = pltpu.make_async_copy(cl_ref.at[b], cl_smem, sem_ref.at[2])
+        cdma.start()
+
+        o, d, mint, maxt, feat, zero = _ray_features(rays_ref)
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, BLOCK), 0)
+        if any_hit:
+            aux_ref[1, :] = zero
+        else:
+            aux_ref[0, :] = jnp.minimum(maxt, BIG)
+            _init_shade(shade_ref)
+        cdma.wait()
+
+        def get_dma(i, slot):
+            cid = cl_smem[0, i].astype(jnp.int32)
+            return pltpu.make_async_copy(
+                geo_ref.at[cid],
+                buf_ref.at[pl.ds(slot * ROWS, ROWS), :],
+                sem_ref.at[slot],
+            )
+
+        first = cl_smem[0, 0].astype(jnp.int32)
+
+        @pl.when(first >= 0)
+        def _():
+            get_dma(0, 0).start()
+
+        def cond(s):
+            i, stop = s
+            return jnp.logical_not(stop)
+
+        def body(s):
+            i, _ = s
+            slot = jax.lax.rem(i, 2)
+            nslot = jax.lax.rem(i + 1, 2)
+            nsafe = jnp.minimum(i + 1, cap - 1)
+            has_next = i + 1 < cap
+            nxt = jnp.where(
+                has_next, cl_smem[0, nsafe].astype(jnp.int32), -1
+            )
+            start_next = nxt >= 0
+
+            @pl.when(start_next)
+            def _():
+                get_dma(nsafe, nslot).start()
+
+            get_dma(i, slot).wait()
+            blk = buf_ref[pl.ds(slot * ROWS, ROWS), :]
+            if any_hit:
+                hit = _anyhit_leaf_blocked(blk, feat, mint, maxt)
+                aux_ref[1, :] = jnp.where(
+                    (aux_ref[1, :] > 0.0) | hit, 1.0, 0.0
+                )
+                finished = jnp.all(aux_ref[1, :] > 0.0)
+            else:
+                _nearest_leaf(
+                    blk, feat, mint, maxt, iota_k, aux_ref, shade_ref
+                )
+                tnext = jnp.where(has_next, cl_smem[1, nsafe], BIG)
+                finished = jnp.max(aux_ref[0, :]) <= tnext
+            stop = jnp.logical_not(start_next) | finished
+
+            # an already-started prefetch must be drained before exiting
+            @pl.when(start_next & stop)
+            def _():
+                get_dma(nsafe, nslot).wait()
+
+            return i + 1, stop
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), first < 0))
+
+        if any_hit:
+            out_ref[0, :] = aux_ref[1, :]
+            for r in range(1, out_ref.shape[0]):
+                out_ref[r, :] = zero
+        else:
+            _write_nearest_out(out_ref, shade_ref[:, :], o, d, zero)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "mode"))
+def _run_drain(tables: ClusterTables, rays_packed, any_hit=False, mode="tpu"):
+    """Drain-path trace over (8, N) packed rays; same output contract as
+    ``_run``. Requires leaf count <= DRAIN_MAX_LEAVES."""
+    n = rays_packed.shape[1]
+    cand, tlb = _cull(tables.leaf_bounds, rays_packed)
+    nb = cand.shape[0]
+    cap = int(tables.leaf_bounds.shape[0])
+    cl = (
+        jnp.zeros((nb, 8, cap), jnp.float32)
+        .at[:, 0, :].set(cand.astype(jnp.float32))
+        .at[:, 1, :].set(tlb)
+    )
+    out_rows = 1 if any_hit else OUT_ROWS
+    kernel = _make_drain_kernel(any_hit)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // BLOCK,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (max(out_rows, 8), BLOCK),
+            lambda i: (0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((max(out_rows, 8), n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SMEM((8, cap), jnp.float32),
+            pltpu.VMEM((ROWS - _SH, BLOCK), jnp.float32),
+            pltpu.VMEM((8, BLOCK), jnp.float32),
+        ],
+        interpret=(mode == "interpret"),
+    )(rays_packed, cl, tables.geo)
+    return out[:out_rows]
+
+
+def _kernel_choice(tables: ClusterTables) -> str:
+    """'drain' unless the scene has too many clusters for the candidate
+    SMEM rows (then the shared-cursor walk serves it -- no size cliff).
+    KAZEN_TRACE_KERNEL=walk/drain overrides for comparison."""
+    import os
+
+    env = os.environ.get("KAZEN_TRACE_KERNEL")
+    if env in ("walk", "drain"):
+        return env
+    if tables.leaf_bounds.shape[0] <= DRAIN_MAX_LEAVES:
+        return "drain"
+    return "walk"
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "mode"))
@@ -602,18 +894,24 @@ def _pack_rays(o, d, mint, maxt):
     return jnp.stack(rows, 0), n
 
 
+def _dispatch(tables, rays_packed, any_hit, mode):
+    if mode != "shim" and _kernel_choice(tables) == "drain":
+        return _run_drain(tables, rays_packed, any_hit=any_hit, mode=mode)
+    return _run(tables, rays_packed, any_hit=any_hit, mode=mode)
+
+
 def trace(tables: ClusterTables, o, d, mint, maxt, mode=None):
     """Fused nearest-hit + shading-attribute fetch. Returns the raw
     (OUT_ROWS, N) row matrix; decode with shade/interaction.py:
     prepare_from_rows. Not differentiable (prepare_from_rows recomputes
     the differentiable quantities in closed form)."""
     rays_packed, n = _pack_rays(o, d, mint, maxt)
-    out = _run(tables, rays_packed, any_hit=False, mode=mode or _mode())
+    out = _dispatch(tables, rays_packed, False, mode or _mode())
     return out[:, :n]
 
 
 def occluded(tables: ClusterTables, o, d, mint, maxt, mode=None):
     """Any-hit shadow query ignoring primary-invisible light faces."""
     rays_packed, n = _pack_rays(o, d, mint, maxt)
-    out = _run(tables, rays_packed, any_hit=True, mode=mode or _mode())
+    out = _dispatch(tables, rays_packed, True, mode or _mode())
     return out[0, :n] > 0.0

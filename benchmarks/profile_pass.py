@@ -18,14 +18,22 @@ import numpy as np
 
 
 def timed(fn, *args, n=3, **kw):
+    """Force a full device->host sync per repetition: block_until_ready
+    through the axon tunnel does not reliably wait (xla_lab.py), so sum a
+    leaf and pull the scalar."""
     import jax
+    import jax.numpy as jnp
+
+    def sync(x):
+        leaves = [l for l in jax.tree_util.tree_leaves(x) if hasattr(l, "astype")]
+        return float(jnp.sum(leaves[0][..., :1].astype(jnp.float32)))
 
     out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.time()
     for _ in range(n):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+        sync(out)
     return (time.time() - t0) / n, out
 
 
@@ -134,29 +142,38 @@ def main():
     dt, its = timed(isect_prep, arrays, rays)
     print(f"intersect+prepare  : {dt*1e3:9.1f} ms", flush=True)
 
-    # ---- resort (full state permute) ----
+    # ---- trace-I/O sort overhead (key + argsort + row permutes) ----
     @jax.jit
-    def resort(scene, its, rays):
-        stream = streams.init_stream_jump(spec, px, py, jnp.uint32(0), jump)
-        st = path_mis._State(
-            stream=stream, ray_o=rays.o, ray_d=rays.d, its=its,
-            li=jnp.zeros((n, 3), jnp.float32),
-            throughput=jnp.ones((n, 3), jnp.float32),
-            eta=jnp.ones(n, jnp.float32), bsdf_weight=jnp.ones(n, jnp.float32),
-            accum_rough=jnp.zeros(n, jnp.float32), alive=its.valid,
-            lane=jnp.arange(n, dtype=jnp.uint32), rays=jnp.float32(0),
-        )
-        return path_mis._resort_state(scene, st)
+    def sort_io(scene, rays):
+        key = path_mis._trace_key(scene, rays.o, rays.d)
+        order = jnp.argsort(key)
+        rows = jnp.stack([rays.o[:, 0], rays.o[:, 1], rays.o[:, 2],
+                          rays.d[:, 0], rays.d[:, 1], rays.d[:, 2],
+                          rays.mint, rays.maxt], 0)[:, order]
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0], dtype=order.dtype))
+        back = jnp.tile(rows, (5, 1))[:, inv]  # stand-in for 40 result rows
+        return back
 
-    dt, st_sorted = timed(resort, arrays, its, rays)
-    print(f"resort state       : {dt*1e3:9.1f} ms", flush=True)
+    dt, _ = timed(sort_io, arrays, rays)
+    print(f"trace-I/O sorting  : {dt*1e3:9.1f} ms", flush=True)
 
     # ---- one full bounce ----
+    stream0 = streams.init_stream_jump(spec, px, py, jnp.uint32(0), jump)
+    st_init = path_mis._State(
+        stream=stream0, ray_o=rays.o, ray_d=rays.d, its=its,
+        li=jnp.zeros((n, 3), jnp.float32),
+        throughput=jnp.ones((n, 3), jnp.float32),
+        eta=jnp.ones(n, jnp.float32), bsdf_weight=jnp.ones(n, jnp.float32),
+        accum_rough=jnp.zeros(n, jnp.float32), alive=its.valid,
+        rays=jnp.float32(0),
+    )
+
     @jax.jit
     def one_bounce(scene, st):
         return path_mis._bounce(scene, static, spec, st, draw_rr=jnp.bool_(False))
 
-    dt, _ = timed(one_bounce, arrays, st_sorted)
+    dt, _ = timed(one_bounce, arrays, st_init)
     print(f"one bounce (all-in): {dt*1e3:9.1f} ms", flush=True)
 
     # ---- BSDF dispatch alone (eval_pdf + sample on the kiss ctx) ----

@@ -98,6 +98,13 @@ class ClusterTables(NamedTuple):
     # clusters carry an empty box (min=BIG, max=-BIG) so the frustum cull
     # never selects them. Used by the drain path (frustum_cull).
     leaf_bounds: jnp.ndarray
+    # compact per-node scalar records (Nn8, 16) f32
+    # [bmin3, bmax3, skip, prim_count, leaf_row, 0...]: the SMEM-walk
+    # kernel DMAs this once and reads node fields as *scalars* -- SMEM
+    # scalar reads are single-cycle, where extracting node fields from a
+    # VMEM vector row costs a vector->scalar transfer per field (the
+    # dominant per-step cost of the VMEM walk kernel).
+    node_scalars: jnp.ndarray
 
 
 def pack_cluster_tables(
@@ -186,10 +193,25 @@ def pack_cluster_tables(
     leaf_bounds[:, 3:6] = -BIG
     leaf_bounds[:C, 0:3] = np.asarray(bvh.bounds_min)[leaf_nodes]
     leaf_bounds[:C, 3:6] = np.asarray(bvh.bounds_max)[leaf_nodes]
+
+    # compact scalar node records for the SMEM walk (pad rows: empty box,
+    # cnt 0, skip to the end -- a stray visit falls through harmlessly)
+    npad8 = (-mn) % 8
+    nsc = np.zeros((mn + npad8, 16), np.float32)
+    nsc[:mn, 0:3] = np.asarray(bvh.bounds_min)
+    nsc[:mn, 3:6] = np.asarray(bvh.bounds_max)
+    nsc[:mn, 6] = np.asarray(bvh.skip).astype(np.float32)
+    nsc[:mn, 7] = pcnt.astype(np.float32)
+    nsc[:mn, 8] = leaf_row
+    if npad8:
+        nsc[mn:, 0:3] = BIG
+        nsc[mn:, 3:6] = -BIG
+        nsc[mn:, 6] = float(mn + npad8)
     return ClusterTables(
         nodes=jnp.asarray(node.reshape(-1, 128)),
         geo=jnp.asarray(geo),
         leaf_bounds=jnp.asarray(leaf_bounds),
+        node_scalars=jnp.asarray(nsc),
     )
 
 
@@ -248,27 +270,34 @@ def _mt_signed(blk, feat, mint, maxt):
 
 def _nearest_leaf(blk, feat, mint, maxt, iota_k, aux_ref, shade_ref):
     """Test one cluster block against the ray block; keep per-lane best t
-    (aux row 0) and the winner's 32 attribute rows (shade_ref)."""
+    (aux row 0) and the winner's 32 attribute rows (shade_ref).
+
+    The expensive tail (K-axis argmin + one-hot attribute fetch, ~2x the
+    cost of the test itself) runs only when some lane actually improved --
+    on a front-to-back ordered visit sequence most visits improve nothing."""
     tbest = aux_ref[0, :]
     ok, st, sd = _mt_signed(blk, feat, mint, maxt)
     tt = jnp.where(ok, st * pl.reciprocal(sd, approx=True), BIG)
     leaf_min = jnp.min(tt, axis=0)
     improved = (leaf_min < tbest) & (leaf_min < BIG)
-    kwin = jnp.argmin(tt, axis=0)
-    onehot = jnp.where(
-        (iota_k == kwin[None, :]) & improved[None, :], 1.0, 0.0
-    )
-    fetched = jax.lax.dot_general(
-        blk[_SH:],
-        onehot,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_HIGH,
-    )  # (32, BLOCK)
-    shade_ref[:, :] = jnp.where(
-        improved[None, :], fetched, shade_ref[:, :]
-    )
-    aux_ref[0, :] = jnp.where(improved, leaf_min, tbest)
+
+    @pl.when(jnp.any(improved))
+    def _():
+        kwin = jnp.argmin(tt, axis=0)
+        onehot = jnp.where(
+            (iota_k == kwin[None, :]) & improved[None, :], 1.0, 0.0
+        )
+        fetched = jax.lax.dot_general(
+            blk[_SH:],
+            onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_HIGH,
+        )  # (32, BLOCK)
+        shade_ref[:, :] = jnp.where(
+            improved[None, :], fetched, shade_ref[:, :]
+        )
+        aux_ref[0, :] = jnp.where(improved, leaf_min, tbest)
 
 
 def _anyhit_leaf_blocked(blk, feat, mint, maxt):
@@ -335,7 +364,7 @@ def _init_shade(shade_ref):
     )
 
 
-def _make_kernel(any_hit: bool):
+def _make_kernel(any_hit: bool, smem_nodes: bool = False):
     # Mosaic (jax 0.9) constraint, found by bisection: vector values carried
     # through lax.while_loop/fori_loop abort the compiler when the loop body
     # mixes 2D (sublane x lane) math -- 2D carries crash outright and 1D
@@ -343,15 +372,42 @@ def _make_kernel(any_hit: bool):
     # loop state therefore lives in VMEM scratch refs (tbest/blocked in
     # aux_ref, the winner's 32 shade rows in shade_ref) and every loop
     # carries scalars only.
+    #
+    # With ``smem_nodes`` the node table is the compact (Nn, 16) scalar
+    # array, DMA'd HBM->SMEM once (grid step 0; scratch persists across
+    # the sequential grid). Node fields are then single-cycle SMEM scalar
+    # reads and the slab test is scalar-vs-(1024,)-vector math, vs the
+    # VMEM variant's per-field vector->scalar extracts (~10 per node step,
+    # the dominant walk cost).
     def kernel(
         rays_ref, nodes_ref, geo_ref, out_ref,
-        buf_ref, sem_ref, list_ref, shade_ref, aux_ref,
+        buf_ref, sem_ref, list_ref, *tail_refs,
     ):
+        if smem_nodes:
+            ns_smem, shade_ref, aux_ref = tail_refs
+
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                ndma = pltpu.make_async_copy(
+                    nodes_ref, ns_smem, sem_ref.at[2]
+                )
+                ndma.start()
+                ndma.wait()
+
+        else:
+            shade_ref, aux_ref = tail_refs
         o, d, mint, maxt, feat, zero = _ray_features(rays_ref)
         inv = tuple(1.0 / jnp.where(jnp.abs(c) < 1e-20, 1e-20, c) for c in d)
-        n_nodes = nodes_ref.shape[0] * 2
+        n_nodes = (
+            nodes_ref.shape[0] if smem_nodes else nodes_ref.shape[0] * 2
+        )
 
         def node_vals(cursor):
+            if smem_nodes:
+                def nv(i):
+                    return ns_smem[cursor, i]
+
+                return nv
             nrow = nodes_ref[jax.lax.shift_right_logical(cursor, 1), :]
             q = jnp.bitwise_and(cursor, 1)
 
@@ -724,37 +780,63 @@ def _run_drain(tables: ClusterTables, rays_packed, any_hit=False, mode="tpu"):
     return out[:out_rows]
 
 
+# SMEM walk: max node-scalar rows kept resident (16 f32 each); the budget
+# stays well under the ~1MB scalar memory. 16k nodes covers ~2M triangles.
+SMEM_MAX_NODES = 16384
+
+
 def _kernel_choice(tables: ClusterTables) -> str:
-    """'drain' unless the scene has too many clusters for the candidate
-    SMEM rows (then the shared-cursor walk serves it -- no size cliff).
-    KAZEN_TRACE_KERNEL=walk/drain overrides for comparison."""
+    """'walk_smem' (scalar node reads; fastest measured on every ray class)
+    when the node table fits scalar memory, else the VMEM-table walk -- no
+    size cliff either way. KAZEN_TRACE_KERNEL=walk/walk_smem/drain
+    overrides for comparison."""
     import os
 
     env = os.environ.get("KAZEN_TRACE_KERNEL")
-    if env in ("walk", "drain"):
+    if env in ("walk", "walk_smem", "drain"):
         return env
-    if tables.leaf_bounds.shape[0] <= DRAIN_MAX_LEAVES:
-        return "drain"
+    if tables.node_scalars.shape[0] <= SMEM_MAX_NODES:
+        return "walk_smem"
     return "walk"
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "mode"))
-def _run(tables: ClusterTables, rays_packed, any_hit=False, mode="tpu"):
+@functools.partial(
+    jax.jit, static_argnames=("any_hit", "mode", "smem_nodes")
+)
+def _run(
+    tables: ClusterTables,
+    rays_packed,
+    any_hit=False,
+    mode="tpu",
+    smem_nodes=False,
+):
     """rays_packed: (8, N) = [o3, d3, mint, maxt], N a BLOCK multiple.
     Returns (OUT_ROWS, N) fused rows, or (1, N) [blocked] for any_hit."""
     n = rays_packed.shape[1]
     if mode == "shim":
         return _run_shim(tables, rays_packed, any_hit)
     out_rows = 1 if any_hit else OUT_ROWS
-    kernel = _make_kernel(any_hit)
+    kernel = _make_kernel(any_hit, smem_nodes=smem_nodes)
+    if smem_nodes:
+        node_arg = tables.node_scalars
+        node_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+        extra_scratch = [
+            pltpu.SMEM(tuple(tables.node_scalars.shape), jnp.float32),
+        ]
+        n_sems = 3
+    else:
+        node_arg = tables.nodes
+        node_spec = pl.BlockSpec(
+            tables.nodes.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        extra_scratch = []
+        n_sems = 2
     out = pl.pallas_call(
         kernel,
         grid=(n // BLOCK,),
         in_specs=[
             pl.BlockSpec((8, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                tables.nodes.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
+            node_spec,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
@@ -763,13 +845,16 @@ def _run(tables: ClusterTables, rays_packed, any_hit=False, mode="tpu"):
         out_shape=jax.ShapeDtypeStruct((max(out_rows, 8), n), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2 * ROWS, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((n_sems,)),
             pltpu.SMEM((MAXV,), jnp.int32),
+        ]
+        + extra_scratch
+        + [
             pltpu.VMEM((ROWS - _SH, BLOCK), jnp.float32),
             pltpu.VMEM((8, BLOCK), jnp.float32),
         ],
         interpret=(mode == "interpret"),
-    )(rays_packed, tables.nodes, tables.geo)
+    )(rays_packed, node_arg, tables.geo)
     return out[:out_rows]
 
 
@@ -895,9 +980,16 @@ def _pack_rays(o, d, mint, maxt):
 
 
 def _dispatch(tables, rays_packed, any_hit, mode):
-    if mode != "shim" and _kernel_choice(tables) == "drain":
+    choice = "shim" if mode == "shim" else _kernel_choice(tables)
+    if choice == "drain":
         return _run_drain(tables, rays_packed, any_hit=any_hit, mode=mode)
-    return _run(tables, rays_packed, any_hit=any_hit, mode=mode)
+    return _run(
+        tables,
+        rays_packed,
+        any_hit=any_hit,
+        mode=mode,
+        smem_nodes=(choice == "walk_smem"),
+    )
 
 
 def trace(tables: ClusterTables, o, d, mint, maxt, mode=None):

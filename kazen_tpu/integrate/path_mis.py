@@ -40,24 +40,104 @@ INF = jnp.float32(3.0e38)
 _MAX_OCCLUSION_STEPS = 8
 
 
+def _spread10(x):
+    """Spread the low 10 bits of x two apart (Morton interleave)."""
+    x = jnp.bitwise_and(x, jnp.uint32(0x3FF))
+    x = jnp.bitwise_and(x | (x << 16), jnp.uint32(0x030000FF))
+    x = jnp.bitwise_and(x | (x << 8), jnp.uint32(0x0300F00F))
+    x = jnp.bitwise_and(x | (x << 4), jnp.uint32(0x030C30C3))
+    x = jnp.bitwise_and(x | (x << 2), jnp.uint32(0x09249249))
+    return x
+
+
+def _morton3(cell):
+    return (
+        (_spread10(cell[:, 0]) << 2)
+        | (_spread10(cell[:, 1]) << 1)
+        | _spread10(cell[:, 2])
+    )
+
+
+def _trace_key(scene, o, d):
+    """Per-ray packet-coherence sort key: direction octant (major), origin
+    Morton cell (32^3), direction Morton cell (16^3, minor). Measured on
+    the 36k-face reference scene (benchmarks/trace_stats.py): octant-major
+    ordering cuts the packet walk's node steps ~4x on bounce rays vs
+    origin-Morton alone; the direction-Morton minor bits give camera rays
+    (identical origins) pixel-tile-like coherence, so one key serves every
+    trace. The key orders *trace I/O only* -- per-lane state stays in pixel
+    order (sorting the whole wavefront state was ~10x the gather cost of
+    permuting 8 ray rows in + 40 hit rows out)."""
+    bmin = jnp.min(scene.V, axis=0)
+    ext = jnp.maximum(jnp.max(scene.V, axis=0) - bmin, 1e-6)
+    ocell = jnp.clip((o - bmin) / ext * 32.0, 0.0, 31.0).astype(jnp.uint32)
+    mo = _morton3(ocell)  # 15 bits
+    dcell = jnp.clip((d * 0.5 + 0.5) * 16.0, 0.0, 15.0).astype(jnp.uint32)
+    md = _morton3(dcell)  # 12 bits
+    octant = (
+        (d[:, 0] > 0).astype(jnp.uint32) * 4
+        + (d[:, 1] > 0).astype(jnp.uint32) * 2
+        + (d[:, 2] > 0).astype(jnp.uint32)
+    )
+    return (octant << 27) | (mo << 12) | md
+
+
+_PAD_VALS = (3.0e38, 3.0e38, 3.0e38, 1.0, 1.0, 1.0, 0.0, -1.0)
+
+
+def _trace_sorted(scene, tt, o, d, mint, maxt, any_hit):
+    """Key-sorted packet trace: permute packed ray rows in (one (8, N)
+    gather), run the Pallas kernel on coherent blocks, permute the result
+    rows back (one gather). Dead lanes (maxt < 0) sort last and their
+    blocks exit the kernel on the first test."""
+    from ..accel import cluster_trace as ct
+
+    n = o.shape[0]
+    key = _trace_key(scene, o, d)
+    # dead lanes (empty segments) last so whole blocks of them exit early
+    key = jnp.where(maxt < 0.0, jnp.uint32(0xFFFFFFFF), key)
+    order = jnp.argsort(key)
+    rows = jnp.stack(
+        [
+            o[:, 0], o[:, 1], o[:, 2],
+            d[:, 0], d[:, 1], d[:, 2],
+            jnp.broadcast_to(mint, (n,)),
+            jnp.broadcast_to(maxt, (n,)),
+        ],
+        0,
+    )
+    rows = rows[:, order]
+    pad = (-n) % ct.BLOCK
+    if pad:
+        pad_cols = jnp.tile(
+            jnp.asarray(_PAD_VALS, jnp.float32)[:, None], (1, pad)
+        )
+        rows = jnp.concatenate([rows, pad_cols], axis=1)
+    out = ct._dispatch(tt, rows, any_hit, ct._mode())[:, :n]
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(n, dtype=order.dtype)
+    )
+    return out[:, inv]
+
+
 def intersect_prepare(scene, rays: Rays):
     """Scene::rayIntersect + post-hit shade prep (accel.cpp:63-236) in one
     step. With cluster trace tables attached (the TPU production path) the
     fused Pallas kernel returns the hit *and* the winning face's shading
-    attributes directly from VMEM (accel/cluster_trace.py), so no XLA
-    gathers run at all; otherwise the XLA BVH walk / brute-force oracle is
-    followed by the gather-based ``prepare``.
+    attributes directly from VMEM (accel/cluster_trace.py) over
+    key-sorted coherent packets, so no XLA gathers run at all; otherwise
+    the XLA BVH walk / brute-force oracle is followed by the gather-based
+    ``prepare``.
 
     The kernel runs on gradient-stopped rays; (t, u, v) and the interaction
     quantities are recomputed in closed form against the returned rows so
     gradients flow exactly as in the gather path."""
     tt = getattr(scene, "trace_tables", None)
     if tt is not None:
-        from ..accel import cluster_trace
-
         rays_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, rays)
-        rows = cluster_trace.trace(
-            tt, rays_ng.o, rays_ng.d, rays_ng.mint, rays_ng.maxt
+        rows = _trace_sorted(
+            scene, tt, rays_ng.o, rays_ng.d, rays_ng.mint, rays_ng.maxt,
+            any_hit=False,
         )
         return prepare_from_rows(rays, rows)
     hit = intersect(scene, rays)
@@ -101,9 +181,13 @@ def _occluded_with_stepthrough(scene, static, o, d, mint, maxt, active):
     epsilon-level deviation, documented in accel/cluster_trace.py)."""
     tt = getattr(scene, "trace_tables", None)
     if tt is not None:
-        from ..accel import cluster_trace
-
-        return cluster_trace.occluded(tt, o, d, mint, maxt) & active
+        n = o.shape[0]
+        out = _trace_sorted(
+            scene, tt, o, d,
+            jnp.broadcast_to(jnp.asarray(mint, jnp.float32), (n,)),
+            maxt, any_hit=True,
+        )
+        return (out[0] > 0.0) & active
 
     def cond(state):
         _, _, _, done, steps = state
@@ -154,43 +238,7 @@ class _State(NamedTuple):
     bsdf_weight: jnp.ndarray  # (N,)
     accum_rough: jnp.ndarray  # (N,)
     alive: jnp.ndarray  # (N,) bool
-    lane: jnp.ndarray  # (N,) u32 original lane id (lanes get re-sorted)
     rays: jnp.ndarray  # () f32: useful rays traced (primary+shadow+path)
-
-
-def _part1by2(x):
-    """Spread the low 10 bits of x two apart (Morton interleave helper)."""
-    x = jnp.bitwise_and(x, jnp.uint32(0x3FF))
-    x = jnp.bitwise_and(x | (x << 16), jnp.uint32(0x030000FF))
-    x = jnp.bitwise_and(x | (x << 8), jnp.uint32(0x0300F00F))
-    x = jnp.bitwise_and(x | (x << 4), jnp.uint32(0x030C30C3))
-    x = jnp.bitwise_and(x | (x << 2), jnp.uint32(0x09249249))
-    return x
-
-
-def _resort_state(scene, st: _State) -> _State:
-    """Re-order lanes for the packet trace: dead lanes last (whole blocks
-    of dead lanes exit the walk after one root test), alive lanes in
-    Morton order of the hit point (origin-coherent blocks walk ~5x fewer
-    nodes). All per-lane state moves together, so the image is unchanged;
-    the on-chip 2M-lane argsort + state permute cost ~0.6ms total."""
-    bmin = jnp.min(scene.V, axis=0)
-    ext = jnp.maximum(jnp.max(scene.V, axis=0) - bmin, 1e-6)
-    cell = jnp.clip(
-        ((st.its.p - bmin) / ext * 128.0), 0.0, 127.0
-    ).astype(jnp.uint32)
-    morton = (
-        (_part1by2(cell[:, 0]) << 2)
-        | (_part1by2(cell[:, 1]) << 1)
-        | _part1by2(cell[:, 2])
-    )
-    key = jnp.where(st.alive, morton, jnp.uint32(0x80000000))
-    order = jnp.argsort(key)
-
-    def perm(a):
-        return a[order] if getattr(a, "ndim", 0) else a
-
-    return jax.tree_util.tree_map(perm, st)
 
 
 def _light_eval_at_hit(scene, its: Interaction, ray_o):
@@ -212,9 +260,9 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
     """One wavefront bounce; ``draw_rr`` is a traced bool scalar -- when
     false the RR draw is *not consumed* (per-lane stream state is selected
     back), matching the reference's depth>=3 conditional draw exactly while
-    keeping the bounce body a single scan iteration."""
-    if getattr(scene, "trace_tables", None) is not None:
-        st = _resort_state(scene, st)
+    keeping the bounce body a single scan iteration. Lane state stays in
+    pixel order throughout; packet coherence is the trace wrappers' job
+    (_trace_sorted permutes ray rows per trace call)."""
     stream = st.stream
     its = st.its
     alive = st.alive
@@ -399,7 +447,6 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
         bsdf_weight=bsdf_weight,
         accum_rough=accum,
         alive=alive,
-        lane=st.lane,
         rays=st.rays + n_shadow_rays + n_path_rays,
     )
 
@@ -407,28 +454,9 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
 def li_wavefront(scene, static, spec, stream, rays: Rays):
     """Integrator::Li over a whole lane batch. Returns (stream, li).
 
-    With Pallas trace tables attached, lanes are re-ordered into 32x32
-    pixel tiles first so each 1024-lane trace block is spatially coherent
-    (the packet walk is ~5x faster on coherent blocks; measured 27M vs 6M
-    rays/s on the 36k-tri reference scene). The on-chip argsort costs
-    ~0.05ms at 2M lanes; li is scattered back to the caller's order."""
-    if getattr(scene, "trace_tables", None) is not None:
-        key = (
-            jnp.minimum(stream.py >> 5, jnp.uint32(0x7FFF)) * jnp.uint32(0x8000)
-            + jnp.minimum(stream.px >> 5, jnp.uint32(0x7FFF))
-        )
-        order = jnp.argsort(key)
-        perm = lambda a: a[order] if a.ndim else a
-        stream_s = jax.tree_util.tree_map(perm, stream)
-        rays_s = jax.tree_util.tree_map(perm, rays)
-        stream_out, li, nrays = _li_wavefront_core(
-            scene, static, spec, stream_s, rays_s
-        )
-        inv = jnp.zeros_like(order).at[order].set(
-            jnp.arange(order.shape[0], dtype=order.dtype)
-        )
-        unperm = lambda a: a[inv] if a.ndim else a
-        return jax.tree_util.tree_map(unperm, stream_out), li[inv], nrays
+    Lane state lives in the caller's (pixel) order for the whole path;
+    each trace call sorts its own ray I/O into coherent packets
+    (_trace_sorted), so no wavefront-wide permutation ever happens."""
     return _li_wavefront_core(scene, static, spec, stream, rays)
 
 
@@ -439,7 +467,9 @@ def _li_wavefront_core(scene, static, spec, stream, rays: Rays):
     # Camera-ray punch-through for primary-invisible lights
     # (integrator.cpp:213-220): a single re-cast past the light; if the
     # re-cast misses, the stale light hit is kept (reference behavior).
-    lvis = scene.light_primary_vis[jnp.maximum(its.light, 0)]
+    lvis = km.select_rows(
+        jnp.maximum(its.light, 0), scene.light_primary_vis
+    )
     punch = hit.valid & (its.light >= 0) & ~lvis
     if static.num_lights > 0:
         o2 = its.p + static.trace_bias * rays.d
@@ -466,7 +496,6 @@ def _li_wavefront_core(scene, static, spec, stream, rays: Rays):
         bsdf_weight=jnp.ones(n, jnp.float32),
         accum_rough=jnp.zeros(n, jnp.float32),
         alive=its.valid,
-        lane=jnp.arange(n, dtype=jnp.uint32),
         rays=jnp.sum(jnp.ones(n, jnp.float32)),
     )
 
@@ -476,18 +505,4 @@ def _li_wavefront_core(scene, static, spec, stream, rays: Rays):
         return _bounce(scene, static, spec, carry, draw_rr=flag), None
 
     st, _ = jax.lax.scan(body, st, draw_rr_flags)
-    if getattr(scene, "trace_tables", None) is not None:
-        # undo the per-bounce lane re-sorting (see _resort_state)
-        inv = jnp.zeros_like(st.lane).at[st.lane].set(
-            jnp.arange(n, dtype=jnp.uint32)
-        )
-
-        def unperm(a):
-            return a[inv] if getattr(a, "ndim", 0) else a
-
-        return (
-            jax.tree_util.tree_map(unperm, st.stream),
-            st.li[inv],
-            st.rays,
-        )
     return st.stream, st.li, st.rays

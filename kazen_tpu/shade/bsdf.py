@@ -53,8 +53,12 @@ class SampleResult(NamedTuple):
 
 
 def gather(materials: MaterialTable, mat_id) -> MaterialTable:
-    """Gather per-lane material rows."""
-    return MaterialTable(*(f[mat_id] for f in materials))
+    """Gather per-lane material rows. Material tables are tiny, so each
+    field is fetched with an exact where-chain (core.math.select_rows)
+    instead of 21 XLA gathers (~2.6 ms each at 518k lanes)."""
+    from ..core.math import select_rows
+
+    return MaterialTable(*(select_rows(mat_id, f) for f in materials))
 
 
 def _cos(v):

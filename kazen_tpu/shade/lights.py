@@ -42,28 +42,36 @@ def sample_area_light(scene, light_idx, ref_p, u_tri, u1, u2):
     Draw order matches the reference: u_tri picks the triangle from the CDF,
     (u1, u2) warp onto it.
     """
-    # CDF search as a static loop of (N,) compares: per-lane rows are short
-    # (padded to the largest light's face count) and vmap'd searchsorted is
-    # gather-bound on TPU.
-    max_lf = scene.light_faces.shape[1]
-    tri = jnp.zeros(u_tri.shape, jnp.int32)
-    for k in range(1, max_lf):
-        tri = tri + (u_tri >= scene.light_cdf[light_idx, k]).astype(jnp.int32)
+    # CDF search: fetch each lane's CDF row with an exact where-chain
+    # (lights are few) then one batched compare -- no per-k gathers.
+    L, max_lf = scene.light_faces.shape
+    cdf_rows = km.select_rows(light_idx, scene.light_cdf)  # (N, max_lf+1)
+    tri = jnp.sum(
+        (u_tri[:, None] >= cdf_rows[:, 1:max_lf]).astype(jnp.int32), axis=1
+    )
     tri = jnp.clip(tri, 0, max_lf - 1)
-    face = scene.light_faces[light_idx, tri]
 
     su0 = jnp.sqrt(u1)
     u = 1.0 - su0
     v = u2 * su0
 
-    row = scene.face_shade[face]
+    if L * max_lf <= 64:
+        # two-level fetch: the light-face shade rows form a tiny table
+        # (L*max_lf, 24); per-lane rows come from a where-chain, so the
+        # whole light sample runs without a single XLA gather
+        small = scene.face_shade[scene.light_faces.reshape(-1)]
+        row = km.select_rows(light_idx * max_lf + tri, small)
+    else:
+        face = scene.light_faces[light_idx, tri]
+        row = scene.face_shade[face]
     p0 = row[:, 0:3]
     p1 = row[:, 3:6]
     p2 = row[:, 6:9]
     p = p0 + u[:, None] * (p1 - p0) + v[:, None] * (p2 - p0)
 
-    mesh = scene.light_mesh[light_idx]
-    has_n = scene.mesh_has_normals[mesh]
+    has_n = km.select_rows(
+        light_idx, scene.mesh_has_normals[scene.light_mesh]
+    )
     n0 = row[:, 9:12]
     n1 = row[:, 12:15]
     n2 = row[:, 15:18]
@@ -87,14 +95,14 @@ def sample_area_light(scene, light_idx, ref_p, u_tri, u1, u2):
 def eval_area_light(scene, light_idx, n, wi):
     """AreaLight::eval (light.cpp:16-19): one-sided radiance."""
     cos_theta = km.dot(n, -wi)
-    rad = scene.light_radiance[light_idx]
+    rad = km.select_rows(light_idx, scene.light_radiance)
     return jnp.where((cos_theta > 0.0)[:, None], rad, 0.0)
 
 
 def pdf_area_light(scene, light_idx, n, wi, dist):
     """AreaLight::pdf (light.cpp:36-51): area->solid-angle conversion."""
     cos_theta = km.dot(n, -wi)
-    inv_area = scene.light_inv_area[light_idx]
+    inv_area = km.select_rows(light_idx, scene.light_inv_area)
     pdf = inv_area * km.sqr(dist) / jnp.maximum(cos_theta, 1e-9)
     return jnp.where(cos_theta > 0.0, pdf, 0.0)
 

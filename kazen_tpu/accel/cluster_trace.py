@@ -63,7 +63,7 @@ K = 128  # triangles per cluster (BVH leaf size)
 ROWS = 96  # f32 rows per cluster block (see layout below)
 NODE_F = 64  # 2 node records per 128-float row
 BIG = 3.0e38
-MAXV = 96  # drained leaf-list capacity per walk phase (SMEM)
+MAXV = 16  # drained leaf-list capacity per walk round (SMEM); small rounds let tbest tighten mid-walk
 _DET_EPS = 1e-8
 
 # cluster block row layout --------------------------------------------------
@@ -130,7 +130,38 @@ def pack_cluster_tables(
     pcnt = np.asarray(bvh.prim_count)
     poff = np.asarray(bvh.prim_offset)
     pfaces = np.asarray(bvh.prim_faces)
-    leaf_nodes = np.nonzero(pcnt > 0)[0]
+    nskip = np.asarray(bvh.skip)
+    mn_all = len(pcnt)
+
+    # ---- collapse subtrees into K-packed clusters ------------------------
+    # SAH leaves average ~0.7*K triangles; every visit pays the full
+    # (K, BLOCK) MXU/VPU test regardless of fill, so sparse clusters waste
+    # test throughput and DMAs. Greedy DFS: the shallowest subtree holding
+    # <= K faces becomes ONE cluster (its root turned into a leaf; the
+    # escape-link walk then never descends inside, no restructuring
+    # needed). Mean fill goes ~0.7K -> ~0.9K and cluster count drops ~30%.
+    pref = np.concatenate([[0], np.cumsum(pcnt)])
+
+    def faces_in(i):
+        j = int(nskip[i])
+        segs = [
+            pfaces[poff[l] : poff[l] + pcnt[l]]
+            for l in range(i, j)
+            if pcnt[l] > 0
+        ]
+        return np.concatenate(segs) if segs else np.zeros(0, np.int32)
+
+    cluster_root = []
+    i = 0
+    while i < mn_all:
+        j = int(nskip[i])
+        nprims = int(pref[j] - pref[i])  # prims in subtree [i, skip_i)
+        if 0 < nprims <= K:
+            cluster_root.append(i)
+            i = j
+        else:
+            i += 1
+    leaf_nodes = np.asarray(cluster_root, np.int64)
     C = len(leaf_nodes)
 
     # ---- cluster geometry blocks -----------------------------------------
@@ -143,10 +174,11 @@ def pack_cluster_tables(
     fm = np.asarray(face_material, np.float32)
     fhn = np.asarray(face_has_n, np.float32)
     fhuv = np.asarray(face_has_uv, np.float32)
+    cluster_sizes = np.zeros(C, np.int64)
     for ci, nidx in enumerate(leaf_nodes):
-        c = int(pcnt[nidx])
-        o = int(poff[nidx])
-        fidx = pfaces[o : o + c]
+        fidx = faces_in(int(nidx))
+        c = len(fidx)
+        cluster_sizes[ci] = c
         p0 = V[F[fidx, 0]]
         e1 = V[F[fidx, 1]] - p0
         e2 = V[F[fidx, 2]] - p0
@@ -174,12 +206,17 @@ def pack_cluster_tables(
     mn = len(pcnt)
     leaf_row = np.zeros(mn, np.float32)
     leaf_row[leaf_nodes] = np.arange(C, dtype=np.float32)
+    # collapsed leaf counts: cluster roots become leaves; nodes inside a
+    # collapsed subtree are never reached (the walk jumps root -> skip)
+    ccnt = np.zeros(mn, np.float32)
+    for ci, nidx in enumerate(leaf_nodes):
+        ccnt[nidx] = float(cluster_sizes[ci])
     mpad = (-mn) % 2
     node = np.zeros((mn + mpad, NODE_F), np.float32)
     node[:mn, 0:3] = np.asarray(bvh.bounds_min)
     node[:mn, 3:6] = np.asarray(bvh.bounds_max)
     node[:mn, 6] = np.asarray(bvh.skip).astype(np.float32)
-    node[:mn, 7] = pcnt.astype(np.float32)
+    node[:mn, 7] = ccnt
     node[:mn, 8] = leaf_row
     if mpad:
         node[mn:, 0:3] = BIG
@@ -201,7 +238,7 @@ def pack_cluster_tables(
     nsc[:mn, 0:3] = np.asarray(bvh.bounds_min)
     nsc[:mn, 3:6] = np.asarray(bvh.bounds_max)
     nsc[:mn, 6] = np.asarray(bvh.skip).astype(np.float32)
-    nsc[:mn, 7] = pcnt.astype(np.float32)
+    nsc[:mn, 7] = ccnt
     nsc[:mn, 8] = leaf_row
     if npad8:
         nsc[mn:, 0:3] = BIG
@@ -240,7 +277,12 @@ def _ray_features(rays_ref):
 
 
 def _mt_signed(blk, feat, mint, maxt):
-    """(ok, st, sd) over (K, BLOCK): sign-folded MT tests on the MXU."""
+    """(ok, st, sd) over (K, BLOCK): sign-folded MT tests on the MXU.
+
+    The acceptance chain is folded into one min-tree: hit iff sd > eps
+    and min(su, sv, sd-su-sv, st-mint*sd, maxt*sd-st) >= 0. (Mosaic only
+    lowers DEFAULT and HIGHEST dot precision; HIGHEST stays -- the winner
+    is re-derived exactly afterwards either way.)"""
     dg = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -256,15 +298,14 @@ def _mt_signed(blk, feat, mint, maxt):
     su = un * s
     sv = vn * s
     st = tn * s
-    ok = (
-        (sd > _DET_EPS)
-        & (su >= 0.0)
-        & (su <= sd)
-        & (sv >= 0.0)
-        & (su + sv <= sd)
-        & (st >= mint[None, :] * sd)
-        & (st <= maxt[None, :] * sd)
+    q = jnp.minimum(
+        jnp.minimum(su, sv),
+        jnp.minimum(
+            sd - su - sv,
+            jnp.minimum(st - mint[None, :] * sd, maxt[None, :] * sd - st),
+        ),
     )
+    ok = (sd > _DET_EPS) & (q >= 0.0)
     return ok, st, sd
 
 

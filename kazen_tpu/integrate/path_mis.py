@@ -90,13 +90,12 @@ def _trace_sorted(scene, tt, o, d, mint, maxt, any_hit):
     gather), run the Pallas kernel on coherent blocks, permute the result
     rows back (one gather). Dead lanes (maxt < 0) sort last and their
     blocks exit the kernel on the first test."""
+    import os
+
     from ..accel import cluster_trace as ct
 
     n = o.shape[0]
-    key = _trace_key(scene, o, d)
-    # dead lanes (empty segments) last so whole blocks of them exit early
-    key = jnp.where(maxt < 0.0, jnp.uint32(0xFFFFFFFF), key)
-    order = jnp.argsort(key)
+    do_sort = os.environ.get("KAZEN_TRACE_SORT", "1") not in ("0", "false")
     rows = jnp.stack(
         [
             o[:, 0], o[:, 1], o[:, 2],
@@ -106,7 +105,12 @@ def _trace_sorted(scene, tt, o, d, mint, maxt, any_hit):
         ],
         0,
     )
-    rows = rows[:, order]
+    if do_sort:
+        key = _trace_key(scene, o, d)
+        # dead lanes (empty segments) last: their blocks exit on one test
+        key = jnp.where(maxt < 0.0, jnp.uint32(0xFFFFFFFF), key)
+        order = jnp.argsort(key)
+        rows = rows[:, order]
     pad = (-n) % ct.BLOCK
     if pad:
         pad_cols = jnp.tile(
@@ -114,6 +118,8 @@ def _trace_sorted(scene, tt, o, d, mint, maxt, any_hit):
         )
         rows = jnp.concatenate([rows, pad_cols], axis=1)
     out = ct._dispatch(tt, rows, any_hit, ct._mode())[:, :n]
+    if not do_sort:
+        return out
     inv = jnp.zeros_like(order).at[order].set(
         jnp.arange(n, dtype=order.dtype)
     )
@@ -473,8 +479,13 @@ def _li_wavefront_core(scene, static, spec, stream, rays: Rays):
     punch = hit.valid & (its.light >= 0) & ~lvis
     if static.num_lights > 0:
         o2 = its.p + static.trace_bias * rays.d
+        # only punch lanes re-cast; the rest get empty segments so their
+        # sorted-last blocks exit the packet kernel on the first test
         rays2 = Rays(
-            o=o2, d=rays.d, mint=jnp.full(n, EPSILON), maxt=jnp.full(n, INF)
+            o=o2,
+            d=rays.d,
+            mint=jnp.full(n, EPSILON),
+            maxt=jnp.where(punch, INF, -1.0),
         )
         hit2, its2 = intersect_prepare(scene, rays2)
         take = punch & hit2.valid

@@ -86,17 +86,13 @@ OUT_ROWS = 40
 
 _HIGH = jax.lax.Precision.HIGHEST
 
-# drain path: max cluster count servable by the sorted-candidate kernel
-# (SMEM row budget); bigger scenes use the shared-cursor walk kernel.
-DRAIN_MAX_LEAVES = 2048
-
 
 class ClusterTables(NamedTuple):
     nodes: jnp.ndarray  # (Rn, 128) f32, VMEM-resident in-kernel
     geo: jnp.ndarray  # (C, ROWS, 128) f32, HBM; DMA'd per leaf visit
-    # cluster AABBs in cluster order, (Cpad, 6) f32 [min3 max3]; padded
-    # clusters carry an empty box (min=BIG, max=-BIG) so the frustum cull
-    # never selects them. Used by the drain path (frustum_cull).
+    # cluster AABBs in cluster order, (Cpad, 6) f32 [min3 max3]; padding
+    # rows carry an empty (inverted) box. Metadata: the real cluster count
+    # is (min.x <= max.x).sum().
     leaf_bounds: jnp.ndarray
     # compact per-node scalar records (Nn8, 16) f32
     # [bmin3, bmax3, skip, prim_count, leaf_row, 0...]: the SMEM-walk
@@ -223,8 +219,6 @@ def pack_cluster_tables(
         node[mn:, 3:6] = -BIG
         node[mn:, 6] = float(mn + mpad)
 
-    # minor-dim padding to 128: the drain path DMAs (1, Cpad) candidate
-    # rows, and Mosaic requires 128-aligned slices along the lane dim
     cpad = (-C) % 128
     leaf_bounds = np.full((C + cpad, 6), BIG, np.float32)
     leaf_bounds[:, 3:6] = -BIG
@@ -252,7 +246,7 @@ def pack_cluster_tables(
     )
 
 
-# ---- shared in-kernel pieces (walk + drain kernels) -------------------------
+# ---- shared in-kernel pieces ------------------------------------------------
 
 
 def _ray_features(rays_ref):
@@ -589,238 +583,6 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
 
 
 
-# ---- drain path: XLA frustum cull + sorted-candidate drain kernel ----------
-#
-# The walk kernel serializes a per-block shared-cursor tree walk: one
-# scalar node step + one vector slab test + one cross-lane reduction per
-# node, ~0.2-1us each -- the measured trace cost is walk-bound, not
-# test-bound. The drain path removes the in-kernel walk entirely:
-#
-#   1. XLA computes each 1024-ray block's *frustum* (origin box, direction
-#      box, [mint, maxt] hull) with one minor-axis reduction, then runs a
-#      conservative interval-arithmetic slab test of every cluster AABB
-#      against every block frustum as dense vector math (B x C x ~60
-#      flops), sorts the surviving clusters front-to-back by their entry-t
-#      lower bound, and emits per-block candidate lists.
-#   2. The kernel is pure drain: DMA candidate cluster i+1 while MXU-testing
-#      candidate i, with an all-lanes early exit as soon as no remaining
-#      cluster can beat every lane's current best hit (t_lb of the sorted
-#      list bounds every hit t inside that cluster for every ray in the
-#      block, so `max_lanes(tbest) <= t_lb[next]` is exact).
-#
-# Correctness: the interval test is conservative (no false negatives), so
-# the candidate list is a superset of the clusters any contained ray's
-# segment intersects; extra visits only re-test and never change the
-# nearest hit; the early exit requires *strict* improvement, matching the
-# walk kernel's `leaf_min < tbest`.
-
-
-def _cull(leaf_bounds, rays_packed):
-    """Conservative per-block candidate clusters, front-to-back.
-
-    leaf_bounds: (C, 6) [min3 max3], empty boxes for padding.
-    rays_packed: (8, N), N a BLOCK multiple.
-    Returns (cand (B, C) int32 cluster ids, -1 past the end;
-             tlb  (B, C) f32 sorted entry-t lower bounds, BIG past end).
-    """
-    r = rays_packed.reshape(8, -1, BLOCK)
-    olo = r[0:3].min(axis=2)  # (3, B)
-    ohi = r[0:3].max(axis=2)
-    dlo = r[3:6].min(axis=2)
-    dhi = r[3:6].max(axis=2)
-    mintlo = r[6].min(axis=1)  # (B,)
-    tmaxhi = r[7].max(axis=1)
-
-    bmin = leaf_bounds[:, 0:3].T  # (3, C)
-    bmax = leaf_bounds[:, 3:6].T
-
-    tn_lo = None
-    tf_hi = None
-    for a in range(3):
-        d0 = dlo[a][:, None]  # (B, 1)
-        d1 = dhi[a][:, None]
-        straddle = (d0 <= 0.0) & (d1 >= 0.0)
-        s0 = jnp.where(straddle, 1.0, d0)
-        s1 = jnp.where(straddle, 1.0, d1)
-        i0, i1 = 1.0 / s0, 1.0 / s1
-        ilo = jnp.minimum(i0, i1)
-        ihi = jnp.maximum(i0, i1)
-        # (bplane - o) intervals for both slab planes
-        lo_a = olo[a][:, None]
-        hi_a = ohi[a][:, None]
-        A0 = bmin[a][None, :] - hi_a  # (B, C)
-        A1 = bmin[a][None, :] - lo_a
-        B0 = bmax[a][None, :] - hi_a
-        B1 = bmax[a][None, :] - lo_a
-        tA_lo = jnp.minimum(
-            jnp.minimum(A0 * ilo, A0 * ihi), jnp.minimum(A1 * ilo, A1 * ihi)
-        )
-        tA_hi = jnp.maximum(
-            jnp.maximum(A0 * ilo, A0 * ihi), jnp.maximum(A1 * ilo, A1 * ihi)
-        )
-        tB_lo = jnp.minimum(
-            jnp.minimum(B0 * ilo, B0 * ihi), jnp.minimum(B1 * ilo, B1 * ihi)
-        )
-        tB_hi = jnp.maximum(
-            jnp.maximum(B0 * ilo, B0 * ihi), jnp.maximum(B1 * ilo, B1 * ihi)
-        )
-        a_lo = jnp.where(straddle, -BIG, jnp.minimum(tA_lo, tB_lo))
-        a_hi = jnp.where(straddle, BIG, jnp.maximum(tA_hi, tB_hi))
-        tn_lo = a_lo if tn_lo is None else jnp.maximum(tn_lo, a_lo)
-        tf_hi = a_hi if tf_hi is None else jnp.minimum(tf_hi, a_hi)
-
-    t_lb = jnp.maximum(jnp.maximum(tn_lo, mintlo[:, None]), 0.0)
-    # inverted (padding) boxes pass a min/max slab test -- the per-axis
-    # near/far collapse to -/+huge -- so reject them explicitly: a pad id
-    # in the candidate list would DMA out of geo's bounds in the kernel
-    valid_box = (leaf_bounds[:, 0] <= leaf_bounds[:, 3])[None, :]
-    ok = (
-        valid_box
-        & (tn_lo <= tf_hi)
-        & (tf_hi >= mintlo[:, None])
-        & (t_lb <= tmaxhi[:, None])
-    )
-    vals = jnp.where(ok, t_lb, BIG)
-    order = jnp.argsort(vals, axis=1)
-    svals = jnp.take_along_axis(vals, order, axis=1)
-    cand = jnp.where(svals < BIG, order, -1).astype(jnp.int32)
-    return cand, svals
-
-
-def _make_drain_kernel(any_hit: bool):
-    def kernel(
-        rays_ref, cl_ref, geo_ref, out_ref,
-        buf_ref, sem_ref, cl_smem, shade_ref, aux_ref,
-    ):
-        # cl_ref: (B, 8, CAP) f32; sublane 0 = candidate cluster ids (f32,
-        # exact), sublane 1 = sorted entry-t lower bounds. A 3D leading-dim
-        # slice keeps the trailing (8, CAP) tile intact (Mosaic requires
-        # tile-aligned trailing dims on sliced DMAs).
-        b = pl.program_id(0)
-        cap = cl_smem.shape[1]
-        cdma = pltpu.make_async_copy(cl_ref.at[b], cl_smem, sem_ref.at[2])
-        cdma.start()
-
-        o, d, mint, maxt, feat, zero = _ray_features(rays_ref)
-        iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, BLOCK), 0)
-        if any_hit:
-            aux_ref[1, :] = zero
-        else:
-            aux_ref[0, :] = jnp.minimum(maxt, BIG)
-            _init_shade(shade_ref)
-        cdma.wait()
-
-        def get_dma(i, slot):
-            cid = cl_smem[0, i].astype(jnp.int32)
-            return pltpu.make_async_copy(
-                geo_ref.at[cid],
-                buf_ref.at[pl.ds(slot * ROWS, ROWS), :],
-                sem_ref.at[slot],
-            )
-
-        first = cl_smem[0, 0].astype(jnp.int32)
-
-        @pl.when(first >= 0)
-        def _():
-            get_dma(0, 0).start()
-
-        def cond(s):
-            i, stop = s
-            return jnp.logical_not(stop)
-
-        def body(s):
-            i, _ = s
-            slot = jax.lax.rem(i, 2)
-            nslot = jax.lax.rem(i + 1, 2)
-            nsafe = jnp.minimum(i + 1, cap - 1)
-            has_next = i + 1 < cap
-            nxt = jnp.where(
-                has_next, cl_smem[0, nsafe].astype(jnp.int32), -1
-            )
-            start_next = nxt >= 0
-
-            @pl.when(start_next)
-            def _():
-                get_dma(nsafe, nslot).start()
-
-            get_dma(i, slot).wait()
-            blk = buf_ref[pl.ds(slot * ROWS, ROWS), :]
-            if any_hit:
-                hit = _anyhit_leaf_blocked(blk, feat, mint, maxt)
-                aux_ref[1, :] = jnp.where(
-                    (aux_ref[1, :] > 0.0) | hit, 1.0, 0.0
-                )
-                finished = jnp.all(aux_ref[1, :] > 0.0)
-            else:
-                _nearest_leaf(
-                    blk, feat, mint, maxt, iota_k, aux_ref, shade_ref
-                )
-                tnext = jnp.where(has_next, cl_smem[1, nsafe], BIG)
-                finished = jnp.max(aux_ref[0, :]) <= tnext
-            stop = jnp.logical_not(start_next) | finished
-
-            # an already-started prefetch must be drained before exiting
-            @pl.when(start_next & stop)
-            def _():
-                get_dma(nsafe, nslot).wait()
-
-            return i + 1, stop
-
-        jax.lax.while_loop(cond, body, (jnp.int32(0), first < 0))
-
-        if any_hit:
-            out_ref[0, :] = aux_ref[1, :]
-            for r in range(1, out_ref.shape[0]):
-                out_ref[r, :] = zero
-        else:
-            _write_nearest_out(out_ref, shade_ref[:, :], o, d, zero)
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("any_hit", "mode"))
-def _run_drain(tables: ClusterTables, rays_packed, any_hit=False, mode="tpu"):
-    """Drain-path trace over (8, N) packed rays; same output contract as
-    ``_run``. Requires leaf count <= DRAIN_MAX_LEAVES."""
-    n = rays_packed.shape[1]
-    cand, tlb = _cull(tables.leaf_bounds, rays_packed)
-    nb = cand.shape[0]
-    cap = int(tables.leaf_bounds.shape[0])
-    cl = (
-        jnp.zeros((nb, 8, cap), jnp.float32)
-        .at[:, 0, :].set(cand.astype(jnp.float32))
-        .at[:, 1, :].set(tlb)
-    )
-    out_rows = 1 if any_hit else OUT_ROWS
-    kernel = _make_drain_kernel(any_hit)
-    out = pl.pallas_call(
-        kernel,
-        grid=(n // BLOCK,),
-        in_specs=[
-            pl.BlockSpec(
-                (8, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (max(out_rows, 8), BLOCK),
-            lambda i: (0, i),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((max(out_rows, 8), n), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2 * ROWS, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SMEM((8, cap), jnp.float32),
-            pltpu.VMEM((ROWS - _SH, BLOCK), jnp.float32),
-            pltpu.VMEM((8, BLOCK), jnp.float32),
-        ],
-        interpret=(mode == "interpret"),
-    )(rays_packed, cl, tables.geo)
-    return out[:out_rows]
-
-
 # SMEM walk: max node-scalar rows kept resident (16 f32 each); the budget
 # stays well under the ~1MB scalar memory. 16k nodes covers ~2M triangles.
 SMEM_MAX_NODES = 16384
@@ -829,12 +591,15 @@ SMEM_MAX_NODES = 16384
 def _kernel_choice(tables: ClusterTables) -> str:
     """'walk_smem' (scalar node reads; fastest measured on every ray class)
     when the node table fits scalar memory, else the VMEM-table walk -- no
-    size cliff either way. KAZEN_TRACE_KERNEL=walk/walk_smem/drain
-    overrides for comparison."""
+    size cliff either way. KAZEN_TRACE_KERNEL=walk/walk_smem overrides
+    for comparison. (A frustum-cull + sorted-drain kernel was built and
+    measured in round 3 -- 24ms coherent / 324ms bounce vs the walk's
+    28/186ms on the hero scene -- and removed: see benchmarks/
+    trace_stats.py and git history for the design and numbers.)"""
     import os
 
     env = os.environ.get("KAZEN_TRACE_KERNEL")
-    if env in ("walk", "walk_smem", "drain"):
+    if env in ("walk", "walk_smem"):
         return env
     if tables.node_scalars.shape[0] <= SMEM_MAX_NODES:
         return "walk_smem"
@@ -1022,8 +787,6 @@ def _pack_rays(o, d, mint, maxt):
 
 def _dispatch(tables, rays_packed, any_hit, mode):
     choice = "shim" if mode == "shim" else _kernel_choice(tables)
-    if choice == "drain":
-        return _run_drain(tables, rays_packed, any_hit=any_hit, mode=mode)
     return _run(
         tables,
         rays_packed,

@@ -86,14 +86,6 @@ NODES_PER_ROW = 128 // NODE_F  # 4
 # VMEM budget for all packed tables; the chip has ~16MB of VMEM (probed on
 # v5e) and the kernel needs ~1-2MB for ray-state vectors and block IO.
 MEGA_VMEM_BUDGET = 12 * 1024 * 1024
-# Megakernel BVH leaf size. Fatter than accel/bvh.py's default 4: a fully
-# divergent 1024-ray packet descends almost every subtree, so the walk cost
-# is ~(nodes * slab + tested_prims * MT); fewer, fatter leaves trade a few
-# extra (vectorized, cheap) MT tests for far fewer (scalar-fetch) node
-# steps. Every leaf is padded to exactly MEGA_LEAF slots so a leaf is one
-# geo row + one attr row (padding slots have e1=e2=0 -> MT det==0, no hit).
-MEGA_LEAF = SLOTS_PER_ROW
-
 INV_PI = float(1.0 / np.pi)
 BIG = 3.0e38
 EPS = 1e-4
@@ -633,7 +625,11 @@ def supported(arrays, static) -> bool:
     if any(t not in _SUPPORTED_BTYPES for t in static.btypes_present):
         return False
     nf = int(arrays.F.shape[0])
-    if nf > MAX_BRUTE and arrays.bvh is None:
+    if nf > MAX_BRUTE:
+        # BVH-size scenes go to the wavefront + cluster-trace kernels
+        # (accel/cluster_trace.py); the megakernel's in-kernel walk was
+        # default-dead and has been removed (round-3 architecture
+        # consolidation)
         return False
     if static.num_materials > MAX_MATERIALS:
         return False
@@ -694,55 +690,10 @@ def pack_tables(arrays, static):
     attr[:, 0:9] = face_shade[:, 9:18]  # n0 n1 n2
     attr[:, 9:15] = face_shade[:, 18:24]  # uv0 uv1 uv2
 
-    if nf > MAX_BRUTE:
-        # In-kernel packet BVH walk: every leaf becomes exactly one geo row
-        # and one attr row (MEGA_LEAF slots, zero-padded; padding has
-        # e1=e2=0 so Moller-Trumbore rejects it via det==0), and the node
-        # table stores the geo row index directly.
-        from ..accel.bvh import build_bvh
-
-        bvh = build_bvh(np.asarray(arrays.V), F, leaf_size=MEGA_LEAF)
-        pcnt = np.asarray(bvh.prim_count)
-        poff = np.asarray(bvh.prim_offset)
-        pfaces = np.asarray(bvh.prim_faces)
-        leaf_nodes = np.nonzero(pcnt > 0)[0]
-        n_leaves = len(leaf_nodes)
-        slot_faces = np.full((n_leaves, MEGA_LEAF), -1, np.int64)
-        for i, nidx in enumerate(leaf_nodes):
-            c = int(pcnt[nidx])
-            o = int(poff[nidx])
-            slot_faces[i, :c] = pfaces[o:o + c]
-        flat = slot_faces.reshape(-1)
-        valid = flat >= 0
-        geo_slots = np.zeros((n_leaves * MEGA_LEAF, GEO_F), np.float32)
-        geo_slots[:, 10] = -1.0  # padding is "no light"
-        geo_slots[valid] = geo[flat[valid]]
-        attr_slots = np.zeros((n_leaves * MEGA_LEAF, GEO_F), np.float32)
-        attr_slots[valid] = attr[flat[valid]]
-        tris_p = _pack_slots(geo_slots)
-        attr_p = _pack_slots(attr_slots)
-
-        mn = int(pcnt.shape[0])
-        leaf_row = np.zeros(mn, np.float32)
-        leaf_row[leaf_nodes] = np.arange(n_leaves, dtype=np.float32)
-        mpad = (-mn) % (NODES_PER_ROW * 8)
-        node_rec = np.zeros((mn + mpad, NODE_F), np.float32)
-        node_rec[:mn, 0:3] = np.asarray(bvh.bounds_min)
-        node_rec[:mn, 3:6] = np.asarray(bvh.bounds_max)
-        node_rec[:mn, 6] = np.asarray(bvh.skip).astype(np.float32)
-        node_rec[:mn, 7] = pcnt.astype(np.float32)
-        node_rec[:mn, 8] = leaf_row
-        if mpad:
-            # inverted boxes are never hit; their skip exits the walk (the
-            # loop condition is cursor < mn so these are never visited)
-            node_rec[mn:, 0:3] = BIG
-            node_rec[mn:, 3:6] = -BIG
-            node_rec[mn:, 6] = float(mn + mpad)
-        nodes = node_rec.reshape(-1, 128)
-    else:
-        tris_p = _pack_slots(geo)
-        attr_p = _pack_slots(attr)
-        nodes = np.zeros((8, 128), np.float32)
+    assert nf <= MAX_BRUTE, "supported() gates BVH-size scenes out"
+    tris_p = _pack_slots(geo)
+    attr_p = _pack_slots(attr)
+    nodes = np.zeros((8, 128), np.float32)
 
     table_rows = tris_p.shape[0] + attr_p.shape[0] + nodes.shape[0]
     if table_rows * _ROW_BYTES > MEGA_VMEM_BUDGET:
@@ -839,8 +790,6 @@ def _make_kernel(cfg):
     samp_n = cfg["n"]
     samp_res = cfg["res"]
     samp_seed = cfg["seed"]
-
-    use_bvh = F > MAX_BRUTE
 
     def kernel(
         o_ref, d_ref, st_ref, tris_ref, attr_ref, nodes_ref, mats_ref,
@@ -1006,182 +955,42 @@ def _make_kernel(cfg):
             hit["inv_area"] = inv_area
             return hit
 
-        def _node_vals(cursor):
-            """One node record: row fetch + quadrant select (4 nodes/row)."""
-            nrow = nodes_ref[jax.lax.shift_right_logical(cursor, 2), :]
-            q = jnp.bitwise_and(cursor, 3)
+        n_geo_rows = -(-F // SLOTS_PER_ROW)
 
-            def nv(i):
-                c01 = jnp.where(q == 1, nrow[NODE_F + i], nrow[i])
-                c23 = jnp.where(
-                    q == 3, nrow[3 * NODE_F + i], nrow[2 * NODE_F + i]
-                )
-                return jnp.where(q >= 2, c23, c01)
-
-            return nv
-
-        def _inv_dir(d):
-            tiny = 1e-20
-            return tuple(
-                1.0 / jnp.where(jnp.abs(c) < tiny, tiny, c) for c in d
-            )
-
-        def _slab(nv, o, inv, mint, maxt):
-            """Packet AABB slab test vs one scalar node record."""
-            tx0 = (nv(0) - o[0]) * inv[0]
-            tx1 = (nv(3) - o[0]) * inv[0]
-            ty0 = (nv(1) - o[1]) * inv[1]
-            ty1 = (nv(4) - o[1]) * inv[1]
-            tz0 = (nv(2) - o[2]) * inv[2]
-            tz1 = (nv(5) - o[2]) * inv[2]
-            tnear = jnp.maximum(
-                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                jnp.minimum(tz0, tz1),
-            )
-            tfar = jnp.minimum(
-                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                jnp.maximum(tz0, tz1),
-            )
-            return (tnear <= tfar) & (tfar >= mint) & (tnear <= maxt)
-
-        if use_bvh:
-            # total node records incl. row padding; pad records are
-            # inverted boxes whose skip is this count, costing at most one
-            # no-op iteration when the walk falls off the last real node
-            n_nodes = nodes_ref.shape[0] * NODES_PER_ROW
-
-            def trace(o, d, mint):
-                """Nearest-hit packet BVH walk (accel/bvh.py layout): one
-                scalar cursor per block; the block descends when ANY lane
-                hits the node box, pruning with the per-lane best t."""
-                inv = _inv_dir(d)
-
-                def body(state):
-                    cursor, best = state
-                    nv = _node_vals(cursor)
-                    hit_box = _slab(nv, o, inv, mint, best["t"])
-                    any_hit = jnp.any(hit_box)
-                    is_leaf = nv(7) > 0.0
-
-                    def leaf_tests(best):
-                        lr = nv(8).astype(jnp.int32)
-                        grow = tris_ref[lr, :]
-                        arow = attr_ref[lr, :]
-                        for k in range(MEGA_LEAF):
-                            p0, e1, e2 = _geo_tri(grow, k)
-                            t, u, v, ok = mt_tri(o, d, p0, e1, e2)
-                            # padding slots have e1=e2=0 -> det==0 -> !ok
-                            ok = ok & hit_box & (t >= mint) & (t < best["t"])
-                            best = _merge_hit(
-                                best, ok, t, u, v, grow, arow, k, p0, e1, e2
-                            )
-                        return best
-
-                    best = jax.lax.cond(
-                        any_hit & is_leaf, leaf_tests, lambda b: b, best
+        def trace(o, d, mint):
+            """Nearest-hit over all triangles, unrolled (tiny scenes);
+            all row reads and lane extracts are static."""
+            best = _init_best(o)
+            for r in range(n_geo_rows):
+                grow = tris_ref[r, :]
+                arow = attr_ref[r, :]
+                for k in range(min(SLOTS_PER_ROW, F - r * SLOTS_PER_ROW)):
+                    p0, e1, e2 = _geo_tri(grow, k)
+                    t, u, v, ok = mt_tri(o, d, p0, e1, e2)
+                    ok = ok & (t >= mint) & (t < best["t"])
+                    best = _merge_hit(
+                        best, ok, t, u, v, grow, arow, k, p0, e1, e2
                     )
-                    nxt = jnp.where(
-                        any_hit & jnp.logical_not(is_leaf),
-                        cursor + 1,
-                        nv(6).astype(jnp.int32),
+            return best
+
+        def occluded(o, d, mint, maxt):
+            """Any-hit; primary-invisible lights do not block (the
+            step-through semantics of integrator.cpp:259-278)."""
+            blocked = fbool
+            for r in range(n_geo_rows):
+                grow = tris_ref[r, :]
+                for k in range(min(SLOTS_PER_ROW, F - r * SLOTS_PER_ROW)):
+                    p0, e1, e2 = _geo_tri(grow, k)
+                    t, _, _, ok = mt_tri(o, d, p0, e1, e2)
+                    ok = ok & (t >= mint) & (t <= maxt)
+                    b = k * GEO_F
+                    is_invisible_light = (grow[b + 10] >= 0.0) & (
+                        grow[b + 11] == 0.0
                     )
-                    return nxt, best
-
-                _, best = jax.lax.while_loop(
-                    lambda s: s[0] < n_nodes,
-                    body,
-                    (jnp.int32(0), _init_best(o)),
-                )
-                return best
-
-            def occluded(o, d, mint, maxt):
-                """Any-hit packet walk; primary-invisible lights do not
-                block (step-through, integrator.cpp:259-278). Exits early
-                once every lane is blocked."""
-                inv = _inv_dir(d)
-
-                def body(state):
-                    cursor, blocked_f = state
-                    nv = _node_vals(cursor)
-                    hit_box = _slab(nv, o, inv, mint, maxt) & (
-                        blocked_f == 0.0
+                    blocked = blocked | (
+                        ok & jnp.logical_not(is_invisible_light)
                     )
-                    any_hit = jnp.any(hit_box)
-                    is_leaf = nv(7) > 0.0
-
-                    def leaf_tests(blocked_f):
-                        lr = nv(8).astype(jnp.int32)
-                        grow = tris_ref[lr, :]
-                        for k in range(MEGA_LEAF):
-                            p0, e1, e2 = _geo_tri(grow, k)
-                            t, _, _, ok = mt_tri(o, d, p0, e1, e2)
-                            ok = ok & hit_box & (t >= mint) & (t <= maxt)
-                            b = k * GEO_F
-                            inv_light = (grow[b + 10] >= 0.0) & (
-                                grow[b + 11] == 0.0
-                            )
-                            blocked_f = jnp.where(
-                                ok & jnp.logical_not(inv_light),
-                                1.0,
-                                blocked_f,
-                            )
-                        return blocked_f
-
-                    blocked_f = jax.lax.cond(
-                        any_hit & is_leaf, leaf_tests, lambda b: b, blocked_f
-                    )
-                    nxt = jnp.where(
-                        any_hit & jnp.logical_not(is_leaf),
-                        cursor + 1,
-                        nv(6).astype(jnp.int32),
-                    )
-                    return nxt, blocked_f
-
-                _, blocked_f = jax.lax.while_loop(
-                    lambda s: (s[0] < n_nodes)
-                    & jnp.logical_not(jnp.all(s[1] > 0.0)),
-                    body,
-                    (jnp.int32(0), zero),
-                )
-                return blocked_f > 0.0
-
-        else:
-            n_geo_rows = -(-F // SLOTS_PER_ROW)
-
-            def trace(o, d, mint):
-                """Nearest-hit over all triangles, unrolled (tiny scenes);
-                all row reads and lane extracts are static."""
-                best = _init_best(o)
-                for r in range(n_geo_rows):
-                    grow = tris_ref[r, :]
-                    arow = attr_ref[r, :]
-                    for k in range(min(SLOTS_PER_ROW, F - r * SLOTS_PER_ROW)):
-                        p0, e1, e2 = _geo_tri(grow, k)
-                        t, u, v, ok = mt_tri(o, d, p0, e1, e2)
-                        ok = ok & (t >= mint) & (t < best["t"])
-                        best = _merge_hit(
-                            best, ok, t, u, v, grow, arow, k, p0, e1, e2
-                        )
-                return best
-
-            def occluded(o, d, mint, maxt):
-                """Any-hit; primary-invisible lights do not block (the
-                step-through semantics of integrator.cpp:259-278)."""
-                blocked = fbool
-                for r in range(n_geo_rows):
-                    grow = tris_ref[r, :]
-                    for k in range(min(SLOTS_PER_ROW, F - r * SLOTS_PER_ROW)):
-                        p0, e1, e2 = _geo_tri(grow, k)
-                        t, _, _, ok = mt_tri(o, d, p0, e1, e2)
-                        ok = ok & (t >= mint) & (t <= maxt)
-                        b = k * GEO_F
-                        is_invisible_light = (grow[b + 10] >= 0.0) & (
-                            grow[b + 11] == 0.0
-                        )
-                        blocked = blocked | (
-                            ok & jnp.logical_not(is_invisible_light)
-                        )
-                return blocked
+            return blocked
 
         def prep(hit):
             """Post-hit shading prep (accel.cpp:113-236), SoA."""

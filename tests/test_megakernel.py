@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from kazen_tpu.integrate import camera as camera_mod
-from kazen_tpu.integrate.megakernel import MAX_BRUTE, li_megakernel, supported
+from kazen_tpu.integrate.megakernel import li_megakernel, supported
 from kazen_tpu.integrate.path_mis import li_wavefront
 from kazen_tpu.integrate.render import sampler_spec
 from kazen_tpu.samplers import streams
@@ -115,28 +115,6 @@ def test_megakernel_correlated_sampler():
         cornell_box(width=16, height=16, spp=8, sampler="correlated"),
         w=16, h=16, sample_index=1,
     )
-    _assert_match(li_ref, li_mk, nr_ref, nr_mk)
-
-
-def test_megakernel_bvh_walk_matches_wavefront():
-    # >MAX_BRUTE triangles forces the in-kernel packet BVH walk; mixed
-    # materials on the sphere + box exercise the walk's attribute merge
-    extra = (
-        sphere_mesh(
-            [0.0, 0.8, 0.3], 0.45, nu=12, nv=10,
-            bsdf=D.KazenStandard(
-                base_color=(0.6, 0.4, 0.8), metallic=0.3, roughness=0.3
-            ),
-        ),
-        sphere_mesh(
-            [-0.55, 0.35, -0.2], 0.3, nu=8, nv=8, bsdf=D.Mirror()
-        ),
-    )
-    sc = cornell_box(width=20, height=20, extra_meshes=extra)
-    arrays, static = compile_scene(sc)
-    assert int(arrays.F.shape[0]) > MAX_BRUTE  # really on the BVH path
-    li_ref, li_mk, nr_ref, nr_mk = _li_pair(sc, w=20, h=20)
-    assert li_ref.mean() > 0.01
     _assert_match(li_ref, li_mk, nr_ref, nr_mk)
 
 

@@ -169,10 +169,13 @@ def intersect(scene, rays: Rays):
 
 
 def power_heuristic(pdf_a, pdf_b):
-    """powerHeuristic (integrator.cpp:340-344)."""
+    """powerHeuristic (integrator.cpp:340-344). The untaken branch of the
+    where must not compute 0/0 (reverse-mode turns its NaN into NaN
+    cotangents), so the denominator is substituted where a2 == 0."""
     a2 = pdf_a * pdf_a
     b2 = pdf_b * pdf_b
-    return jnp.where(a2 > 0.0, a2 / (a2 + b2), 0.0)
+    ok = a2 > 0.0
+    return jnp.where(ok, a2 / jnp.where(ok, a2 + b2, 1.0), 0.0)
 
 
 def _occluded_with_stepthrough(scene, static, o, d, mint, maxt, active):

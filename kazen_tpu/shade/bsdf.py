@@ -156,24 +156,40 @@ def _ggx_sample(static, scene, mp, uv, wi, s2):
         jnp.zeros(wi.shape[:-1], bool), pdf
 
 
+
+def _safe_wh(wi, wo):
+    """Half-vector with masked-lane hygiene: rough* eval/pdf run on every
+    lane (the per-type dispatch masks afterwards), so grazing or
+    degenerate (wi ~ -wo) lanes of OTHER material types would feed
+    pathological wh into the Beckmann exp/div chain. Forward values are
+    masked anyway, but reverse-mode turns inf * 0 into NaN (the classic
+    where-branch leak), so the inputs themselves are made safe: invalid
+    lanes compute with wh = +z. Returns (wh, ok)."""
+    h = wi + wo
+    n2 = km.dot(h, h)
+    ok = (_cos(wi) > 0.0) & (_cos(wo) > 0.0) & (n2 > 1e-12)
+    z = jnp.zeros_like(h).at[..., 2].set(1.0)
+    h = jnp.where(ok[..., None], h, z)
+    return h / km.norm(h, keepdims=True)[...], ok
+
+
 def _roughconductor_eval(mp, wi, wo):
-    wh = km.normalize(wi + wo)
+    wh, m = _safe_wh(wi, wo)
     f = ggx.fresnel_conductor(km.dot(wh, wo), mp.eta_c, mp.k_c)
     d = ggx.beckmann_ndf(wh, mp.alpha)
     g = ggx.smith_beckmann_g1(wi, wh, mp.alpha) * ggx.smith_beckmann_g1(
         wo, wh, mp.alpha
     )
     val = (d * g / jnp.maximum(4.0 * _cos(wi), 1e-9))[..., None] * f
-    m = (_cos(wi) > 0.0) & (_cos(wo) > 0.0)
     return _mask3(m, val)
 
 
 def _roughconductor_pdf(mp, wi, wo):
-    wh = km.normalize(wi + wo)
+    wh, m = _safe_wh(wi, wo)
     d = ggx.beckmann_ndf(wh, mp.alpha)
     denom = 4.0 * km.dot(wh, wo)
-    pdf = d * _cos(wh) / jnp.where(denom == 0.0, 1e-9, denom)
-    m = (_cos(wi) > 0.0) & (_cos(wo) > 0.0)
+    safe = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+    pdf = d * _cos(wh) / safe
     return jnp.where(m, pdf, 0.0)
 
 
@@ -193,7 +209,7 @@ def _roughplastic_ks(mp):
 
 
 def _roughplastic_eval(mp, wi, wo):
-    wh = km.normalize(wi + wo)
+    wh, m = _safe_wh(wi, wo)
     d = ggx.beckmann_ndf(wh, mp.alpha)
     f = km.fresnel(km.dot(wh, wo), mp.ext_ior, mp.int_ior)
     g = ggx.smith_beckmann_g1(wo, wh, mp.alpha) * ggx.smith_beckmann_g1(
@@ -202,17 +218,15 @@ def _roughplastic_eval(mp, wi, wo):
     ks = _roughplastic_ks(mp)
     spec = ks * d * f * g / jnp.maximum(4.0 * _cos(wi), 1e-9)
     val = mp.base_color * (km.INV_PI * _cos(wo))[..., None] + spec[..., None]
-    m = (_cos(wi) > 0.0) & (_cos(wo) > 0.0)
     return _mask3(m, val)
 
 
 def _roughplastic_pdf(mp, wi, wo):
-    wh = km.normalize(wi + wo)
+    wh, m = _safe_wh(wi, wo)
     d = ggx.beckmann_ndf(wh, mp.alpha)
     jh = 1.0 / jnp.maximum(4.0 * jnp.abs(km.dot(wh, wo)), 1e-9)
     ks = _roughplastic_ks(mp)
     pdf = ks * d * _cos(wh) * jh + (1.0 - ks) * _cos(wo) * km.INV_PI
-    m = (_cos(wi) > 0.0) & (_cos(wo) > 0.0)
     return jnp.where(m, pdf, 0.0)
 
 
@@ -536,10 +550,22 @@ def _base_types(static):
     return tuple(t for t in static.btypes_present if t != BSDF_NORMALMAP)
 
 
+
+def _safe_dirs(m, *vs):
+    """Masked-dispatch input hygiene: every per-type branch runs on ALL
+    lanes and is masked afterwards, so lanes of other types can feed
+    degenerate directions into sqrt/div/exp chains whose reverse-mode
+    turns inf*0 into NaN. Substitute +z on non-this-type lanes."""
+    z = jnp.zeros_like(vs[0]).at[..., 2].set(1.0)
+    return tuple(jnp.where(m[..., None], v, z) for v in vs)
+
+
 def eval_base(static, scene, mp, uv, wi, wo, accum_rough):
     out = jnp.zeros_like(wi)
+    wi0, wo0 = wi, wo
     for t in _base_types(static):
         m = mp.btype == t
+        wi, wo = _safe_dirs(m, wi0, wo0)
         if t in (BSDF_DIFFUSE, BSDF_LAMBERTIAN):
             albedo = _diffuse_albedo(static, scene, mp, uv, t == BSDF_LAMBERTIAN)
             v = _diffuse_eval(albedo, wi, wo)
@@ -563,8 +589,10 @@ def eval_base(static, scene, mp, uv, wi, wo, accum_rough):
 
 def pdf_base(static, scene, mp, uv, wi, wo, accum_rough):
     out = jnp.zeros(wi.shape[:-1])
+    wi0, wo0 = wi, wo
     for t in _base_types(static):
         m = mp.btype == t
+        wi, wo = _safe_dirs(m, wi0, wo0)
         if t in (BSDF_DIFFUSE, BSDF_LAMBERTIAN):
             v = _diffuse_pdf(wi, wo)
         elif t in (BSDF_MIRROR, BSDF_DIELECTRIC):
@@ -589,8 +617,10 @@ def eval_pdf_base(static, scene, mp, uv, wi, wo, accum_rough):
     """(eval, pdf) in one masked dispatch (NEE hot path)."""
     out_f = jnp.zeros_like(wi)
     out_p = jnp.zeros(wi.shape[:-1])
+    wi0, wo0 = wi, wo
     for t in _base_types(static):
         m = mp.btype == t
+        wi, wo = _safe_dirs(m, wi0, wo0)
         if t in (BSDF_DIFFUSE, BSDF_LAMBERTIAN):
             albedo = _diffuse_albedo(static, scene, mp, uv, t == BSDF_LAMBERTIAN)
             f = _diffuse_eval(albedo, wi, wo)
@@ -628,8 +658,10 @@ def sample_base(static, scene, mp, uv, wi, s1, s2, accum_rough) -> SampleResult:
         is_discrete=jnp.zeros(n, bool),
         pdf=jnp.zeros(n),
     )
+    wi0 = wi
     for t in _base_types(static):
         m = mp.btype == t
+        (wi,) = _safe_dirs(m, wi0)
         if t in (BSDF_DIFFUSE, BSDF_LAMBERTIAN):
             albedo = _diffuse_albedo(static, scene, mp, uv, t == BSDF_LAMBERTIAN)
             wo, w, eta, disc, pdf = _diffuse_sample(albedo, wi, s2)

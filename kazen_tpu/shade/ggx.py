@@ -137,12 +137,18 @@ def beckmann_ndf(m, alpha):
 
 
 def smith_beckmann_g1(v, m, alpha):
-    """Rational-approx Smith-Beckmann G1 (bsdf.cpp:737-757)."""
+    """Rational-approx Smith-Beckmann G1 (bsdf.cpp:737-757).
+
+    The tangent is clamped to 1e-2 *inside the approx branch only*: that
+    branch is selected when a < 1.6 (i.e. large tangents), so the clamp
+    never changes a taken value, but it keeps ``a`` bounded -- reverse-mode
+    of the rational quotient squares a^2 terms, and an unbounded a (~1e10
+    at tan==0) overflows f32 to inf - inf = NaN in the cotangents."""
     ct = v[..., 2]
     tan_theta = jnp.abs(
         jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0)) / jnp.where(ct == 0.0, 1e-9, ct)
     )
-    a = 1.0 / (alpha * jnp.maximum(tan_theta, 1e-9))
+    a = 1.0 / (alpha * jnp.maximum(tan_theta, 1e-2))
     a2 = a * a
     approx = (3.535 * a + 2.181 * a2) / (1.0 + 2.276 * a + 2.577 * a2)
     g = jnp.where((a >= 1.6) | (tan_theta == 0.0), 1.0, approx)

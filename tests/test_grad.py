@@ -148,3 +148,65 @@ def test_grad_texels_flow():
     g = np.asarray(jax.grad(loss)(arrays0.textures.texels))
     assert np.isfinite(g).all()
     assert (np.abs(g) > 0).any()
+
+
+def test_grad_fd_matrix_all_bsdfs():
+    """FD-vs-AD over every BSDF type (VERDICT r2 ask #8): one small render
+    per material class, central differences on a continuous parameter of
+    that class. Streams are counter-based, so both FD sides see identical
+    uniforms; parameters that modulate *discrete* lobe probabilities
+    (dielectric IOR, plastic kd, rough-glass alpha) can flip a finite
+    number of lane decisions inside the FD window -- those rows get a
+    looser (still deterministic) tolerance."""
+    cases = [
+        # (bsdf, MaterialTable field, rel tolerance)
+        (D.Diffuse((0.6, 0.5, 0.4)), "base_color", 2e-3),
+        (D.Lambertian(albedo=D.ConstantTexture((0.5, 0.6, 0.7))),
+         "base_color", 2e-3),
+        (D.Dielectric(), "int_ior", 5e-2),
+        (D.NormalMap(nested=D.Diffuse((0.7, 0.6, 0.5)),
+                     normals=D.ConstantTexture((0.5, 0.5, 1.0))),
+         "base_color", 2e-3),
+        (D.GGX(albedo=D.ConstantTexture((0.6, 0.6, 0.6)), roughness=0.4),
+         "roughness", 1e-2),
+        (D.RoughConductor(material="Cu", alpha=0.3), "alpha", 1e-2),
+        (D.RoughPlastic(alpha=0.3, kd=(0.5, 0.4, 0.3)), "base_color", 5e-2),
+        (D.RoughDielectric(roughness=0.35), "alpha", 5e-2),
+        (D.KazenStandard(
+            base_color=D.ConstantTexture((0.7, 0.5, 0.3)),
+            roughness=D.ConstantTexture((0.4,) * 3)),
+         "base_color", 2e-3),
+    ]
+    h = 1e-3
+    for bsdf, field, tol in cases:
+        scene = scenes.cornell_box(
+            width=8, height=8, spp=1, max_depth=2, wall_bsdf=bsdf
+        )
+        loss, base = _loss_for(scene, field, spp=1)
+        g = jax.grad(loss)(base)
+        e = jnp.full_like(base, h)
+        fd = (float(loss(base + e)) - float(loss(base - e))) / (2 * h)
+        ad = float(jnp.sum(g))
+        denom = max(abs(fd), abs(ad), 1e-4)
+        assert abs(fd - ad) <= tol * denom, (
+            f"{type(bsdf).__name__}.{field}: fd={fd} ad={ad}"
+        )
+
+    # mirror has no continuous material parameter; its differentiable path
+    # is radiance through the specular chain -- grad wrt light radiance
+    # must equal FD exactly (linear)
+    scene = scenes.cornell_box(
+        width=8, height=8, spp=1, max_depth=3, wall_bsdf=D.Mirror()
+    )
+    arrays0, static = compile_scene(scene, use_bvh=False)
+
+    def lloss(rad):
+        return jnp.mean(render(arrays0._replace(light_radiance=rad),
+                               static, spp=1))
+
+    rad0 = arrays0.light_radiance
+    g = jax.grad(lloss)(rad0)
+    e = jnp.full_like(rad0, 1e-2)
+    fd = (float(lloss(rad0 + e)) - float(lloss(rad0 - e))) / 2e-2
+    ad = float(jnp.sum(g * jnp.ones_like(rad0)))
+    assert abs(fd - ad) <= 2e-3 * max(abs(fd), abs(ad), 1e-4), (fd, ad)

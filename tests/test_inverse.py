@@ -88,3 +88,85 @@ def test_recover_background_color():
     )
     got = np.asarray(res.params["bg_color"])
     np.testing.assert_allclose(got, [0.8, 0.4, 0.1], atol=0.05)
+
+
+def _with_trace_tables(scene):
+    """Compile with the production trace-table path attached (shim kernels
+    on CPU): gradients then flow through prepare_from_rows' closed-form
+    recompute, i.e. the exact structure the TPU wavefront runs."""
+    import os
+
+    old = os.environ.get("KAZEN_PALLAS_TRACE")
+    os.environ["KAZEN_PALLAS_TRACE"] = "1"
+    try:
+        arrays, static = compile_scene(scene, use_bvh=True)
+    finally:
+        if old is None:
+            del os.environ["KAZEN_PALLAS_TRACE"]
+        else:
+            os.environ["KAZEN_PALLAS_TRACE"] = old
+    assert arrays.trace_tables is not None
+    return arrays, static
+
+
+def test_recover_texture_map_through_trace_path():
+    """Recover an image texture (texel pool) from a target rendered with
+    the true texels -- through the trace-tables forward path (VERDICT r2
+    ask #8). The checker pattern makes per-texel gradients heterogeneous,
+    so this exercises real spatial texture recovery, not a scalar."""
+    rng = np.random.default_rng(7)
+    true_tex = (0.25 + 0.6 * rng.random((8, 8, 3))).astype(np.float32)
+    scene = scenes.cornell_box(
+        width=24, height=24, spp=4, max_depth=2,
+        wall_bsdf=D.Lambertian(albedo=D.ImageTexture(
+            data=true_tex, colorspace="linear"
+        )),
+    )
+    arrays, static = _with_trace_tables(scene)
+    target = render(arrays, static, spp=4)
+
+    # start from flat gray texels
+    gray = arrays.textures._replace(
+        texels=jnp.full_like(arrays.textures.texels, 0.5)
+    )
+    start = arrays._replace(textures=gray)
+    res = optimize(
+        start,
+        static,
+        target,
+        param_keys=("texels",),
+        steps=100,
+        learning_rate=0.08,
+        spp_per_step=4,
+    )
+    assert res.losses[-1] < res.losses[0] * 0.2, res.losses[[0, -1]]
+    err0 = float(jnp.mean(jnp.abs(gray.texels - arrays.textures.texels)))
+    err1 = float(
+        jnp.mean(jnp.abs(res.params["texels"] - arrays.textures.texels))
+    )
+    # mean texel error at least halves (mip tails/borders keep it nonzero)
+    assert err1 < 0.5 * err0, (err0, err1)
+
+
+def test_recover_env_tint_through_trace_path():
+    """Recover the environment tint through escape rays on the
+    trace-tables forward path."""
+    scene = scenes.cornell_box(
+        width=12, height=12, spp=4, max_depth=3,
+        background=D.Background(texture=D.ConstantTexture((0.7, 0.3, 0.15))),
+    )
+    arrays, static = _with_trace_tables(scene)
+    target = render(arrays, static, spp=4)
+    start = arrays._replace(bg_color=jnp.asarray([0.4, 0.4, 0.4]))
+    res = optimize(
+        start,
+        static,
+        target,
+        param_keys=("bg_color",),
+        steps=80,
+        learning_rate=0.1,
+        spp_per_step=4,
+        clip_to_unit=False,
+    )
+    got = np.asarray(res.params["bg_color"])
+    np.testing.assert_allclose(got, [0.7, 0.3, 0.15], atol=0.05)

@@ -32,9 +32,11 @@ def timed(fn, *args, n=5):
 
     total(fn(*args))  # compile+warm
     t0 = time.time()
+    out = None
     for _ in range(n):
-        total(fn(*args))
-    return max((time.time() - t0) / n - _LAT[0], 0.0)
+        out = fn(*args)
+    total(out)  # one sync per batch: the tunnel round trip is ~1-25ms
+    return max((time.time() - t0 - _LAT[0]) / n, 0.0)
 
 
 def main():

@@ -2,7 +2,7 @@
 
 This is the TPU Embree replacement (Accel::rayIntersect, reference
 accel.cpp:63-110) designed round the hardware instead of round a per-ray
-walk. Three ideas:
+walk. Four ideas:
 
 1. **Two-level structure.** Triangles are grouped into SAH-built clusters
    of up to 128 (one BVH leaf = one cluster). A 1024-lane ray block walks
@@ -18,30 +18,44 @@ walk. Three ideas:
      t*det = (o - p0) . n            (n = e1 x e2)
      u*det = e2 . m + (p0 x e2) . d
      v*det = -e1 . m + (e1 x p0) . d
-   so one (128, 16) x (16, 1024) matmul per output evaluates the whole
-   (rays x triangles) block on the MXU; the VPU only runs the sign-folded
-   comparisons. The per-triangle coefficient rows are precomputed on the
-   host into the cluster block.
+   so ONE (48, 512) x (48, 1024) matmul per visit evaluates all four
+   quantities for the whole (rays x triangles) block on the MXU: the four
+   quantities share the same feature vector, so they live in four
+   128-column blocks of a single weight matrix. The per-triangle
+   coefficient rows are precomputed on the host into the cluster block.
 
-3. **In-kernel winner attributes.** The per-lane nearest hit's full
+3. **Split-bf16 3-pass precision.** The MXU's native input type is bf16;
+   full-f32 (HIGHEST) emulation costs 6 passes and was measured to
+   dominate the per-visit cost (benchmarks/visit_lab.py: 4.9us -> 1.8us
+   per visit at DEFAULT). The weights are stored split hi/lo
+   (W = W_hi + W_lo, each bf16) and the features likewise, with the three
+   significant products W_hi*f_hi + W_hi*f_lo + W_lo*f_hi folded into the
+   one matmul's contraction dim (48 = 3x16). Relative error ~2^-18 of the
+   term magnitudes -- f32-dot class -- and the winning face's (t, u, v)
+   are re-derived in exact f32 afterwards either way.
+
+4. **In-kernel winner attributes.** The per-lane nearest hit's full
    shading row (3 vertices, 3 vertex normals, 3 uvs, face/light/material
    meta) is fetched inside the kernel with a one-hot matmul against the
-   cluster's attribute rows, so the post-trace XLA shading prep needs *no
-   gathers at all* (XLA per-element gathers measured ~26ms/518k lanes;
-   the reference gets this for free from C++ pointer chasing).
+   cluster's f32 attribute rows, so the post-trace XLA shading prep needs
+   *no gathers at all*. The winner's *cluster id* is also returned (out
+   row 33): it is the next bounce's packet-coherence sort key
+   (integrate/path_mis.py), replacing per-trace Morton key construction.
 
 Cluster blocks live in **HBM** and are DMA'd per visited leaf with double
 buffering (walk phase collects visited leaves into an SMEM list, drain
 phase overlaps copy i+1 with test i). VMEM only holds the node table and
-two 48KB buffers, so scene size is bounded by HBM, not VMEM -- the
+the double buffers, so scene size is bounded by HBM, not VMEM -- the
 reference's Embree serves any size at full speed (accel.cpp:25-61) and so
 does this: no table-size budget, no fallback cliff.
 
-Occlusion (`occluded`) is the any-hit variant; like the megakernel it
-skips primary-invisible light faces in a single pass instead of the
-reference's iterative re-cast (integrator.cpp:259-278): occluders hidden
+Occlusion (`occluded`) is the any-hit variant; it uses a dedicated weight
+table in which primary-invisible light faces are zeroed at pack time, so
+they can never block -- a single-pass analog of the reference's iterative
+re-cast past invisible lights (integrator.cpp:259-278): occluders hidden
 within trace_bias behind a skipped light differ (epsilon-level deviation,
-same as integrate/megakernel.py).
+same as integrate/megakernel.py). It needs no shade DMA and no winner
+fetch at all.
 
 On CPU backends `mode="shim"` runs a brute-force pure-JAX reference with
 identical semantics (chunked over clusters) so sharding tests exercise the
@@ -60,36 +74,40 @@ from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 1024
 K = 128  # triangles per cluster (BVH leaf size)
-ROWS = 96  # f32 rows per cluster block (see layout below)
+W_ROWS = 48  # weight rows per cluster: [W_hi; W_hi; W_lo] of (16, 512)
+W_COLS = 4 * K  # four quantity column blocks [det | t | u | v]
+SH_ROWS = 32  # f32 shade rows per cluster (see layout below)
 NODE_F = 64  # 2 node records per 128-float row
 BIG = 3.0e38
 MAXV = 16  # drained leaf-list capacity per walk round (SMEM); small rounds let tbest tighten mid-walk
 _DET_EPS = 1e-8
 
-# cluster block row layout --------------------------------------------------
-_W_DET = 0  # rows 0:16   Wdet[f, tri]
-_W_T = 16  # rows 16:32  Wt
-_W_U = 32  # rows 32:48  Wu
-_W_V = 48  # rows 48:64  Wv
-_SH = 64  # rows 64:88  shade24 [p0 p1 p2 n0 n1 n2 uv0 uv1 uv2][tri]
-_M_FACE = 88  # face id (f32; exact below 2^24 faces)
-_M_LIGHT = 89  # light id (-1 none)
-_M_LPV = 90  # light primary visibility (0/1)
-_M_MAT = 91  # material id
-_M_HASN = 92  # mesh has vertex normals (0/1)
-_M_HASUV = 93  # mesh has uvs (0/1)
+# geo_shade row layout -------------------------------------------------------
+# rows 0:24  shade24 [p0 p1 p2 n0 n1 n2 uv0 uv1 uv2][tri]
+_S_FACE = 24  # face id (f32; exact below 2^24 faces)
+_S_LIGHT = 25  # light id (-1 none)
+_S_LPV = 26  # light primary visibility (0/1)
+_S_MAT = 27  # material id
+_S_HASN = 28  # mesh has vertex normals (0/1)
+_S_HASUV = 29  # mesh has uvs (0/1)
 
 # fused-output row layout ---------------------------------------------------
 OUT_ROWS = 40
 # 0 t, 1 u, 2 v, 3 face, 4:28 shade24, 28 light, 29 lpv, 30 mat,
-# 31 has_n, 32 has_uv; rest padding
+# 31 has_n, 32 has_uv, 33 winner cluster id; rest padding
 
 _HIGH = jax.lax.Precision.HIGHEST
 
 
 class ClusterTables(NamedTuple):
     nodes: jnp.ndarray  # (Rn, 128) f32, VMEM-resident in-kernel
-    geo: jnp.ndarray  # (C, ROWS, 128) f32, HBM; DMA'd per leaf visit
+    # nearest-hit MT weights, (C, 48, 512) bf16, HBM; DMA'd per leaf visit
+    geo_w: jnp.ndarray
+    # occlusion MT weights: same, with non-blocking (primary-invisible
+    # light) triangle columns zeroed -- they can never block
+    geo_w_occl: jnp.ndarray
+    # winner shading attributes, (C, 32, 128) f32, HBM
+    geo_shade: jnp.ndarray
     # cluster AABBs in cluster order, (Cpad, 6) f32 [min3 max3]; padding
     # rows carry an empty (inverted) box. Metadata: the real cluster count
     # is (min.x <= max.x).sum().
@@ -101,6 +119,20 @@ class ClusterTables(NamedTuple):
     # VMEM vector row costs a vector->scalar transfer per field (the
     # dominant per-step cost of the VMEM walk kernel).
     node_scalars: jnp.ndarray
+
+
+def _split_bf16(w: np.ndarray):
+    """f32 -> (hi, lo) bf16 split with hi + lo ~= w to ~2^-16 relative."""
+    hi = w.astype(np.dtype("bfloat16"))
+    lo = (w - hi.astype(np.float32)).astype(np.dtype("bfloat16"))
+    return hi, lo
+
+
+def _pack_w3(wdet, wt, wu, wv):
+    """Four (16, K) f32 quantity blocks -> (48, 4K) bf16 [hi; hi; lo]."""
+    w = np.concatenate([wdet, wt, wu, wv], axis=1)  # (16, 4K)
+    hi, lo = _split_bf16(w)
+    return np.concatenate([hi, hi, lo], axis=0)  # (48, 4K)
 
 
 def pack_cluster_tables(
@@ -161,9 +193,11 @@ def pack_cluster_tables(
     C = len(leaf_nodes)
 
     # ---- cluster geometry blocks -----------------------------------------
-    geo = np.zeros((C, ROWS, 128), np.float32)
-    geo[:, _M_FACE, :] = -1.0
-    geo[:, _M_LIGHT, :] = -1.0
+    geo_w = np.zeros((C, W_ROWS, W_COLS), np.dtype("bfloat16"))
+    geo_w_occl = np.zeros((C, W_ROWS, W_COLS), np.dtype("bfloat16"))
+    geo_shade = np.zeros((C, SH_ROWS, K), np.float32)
+    geo_shade[:, _S_FACE, :] = -1.0
+    geo_shade[:, _S_LIGHT, :] = -1.0
     fs = np.asarray(face_shade, np.float32)
     fl = np.asarray(face_light, np.float32)
     fpv = np.asarray(face_lpv, np.float32)
@@ -179,24 +213,36 @@ def pack_cluster_tables(
         e1 = V[F[fidx, 1]] - p0
         e2 = V[F[fidx, 2]] - p0
         n = np.cross(e1, e2)
+        wdet = np.zeros((16, K), np.float32)
+        wt = np.zeros((16, K), np.float32)
+        wu = np.zeros((16, K), np.float32)
+        wv = np.zeros((16, K), np.float32)
         # Wdet: det = d . (e2 x e1) = -d . n
-        geo[ci, _W_DET + 4 : _W_DET + 7, :c] = -n.T
+        wdet[4:7, :c] = -n.T
         # Wt: t*det = (o - p0) . n
-        geo[ci, _W_T + 0, :c] = -np.einsum("ij,ij->i", p0, n)
-        geo[ci, _W_T + 1 : _W_T + 4, :c] = n.T
+        wt[0, :c] = -np.einsum("ij,ij->i", p0, n)
+        wt[1:4, :c] = n.T
         # Wu: u*det = e2 . m + (p0 x e2) . d
-        geo[ci, _W_U + 4 : _W_U + 7, :c] = np.cross(p0, e2).T
-        geo[ci, _W_U + 7 : _W_U + 10, :c] = e2.T
+        wu[4:7, :c] = np.cross(p0, e2).T
+        wu[7:10, :c] = e2.T
         # Wv: v*det = -e1 . m + (e1 x p0) . d
-        geo[ci, _W_V + 4 : _W_V + 7, :c] = np.cross(e1, p0).T
-        geo[ci, _W_V + 7 : _W_V + 10, :c] = -e1.T
-        geo[ci, _SH : _SH + 24, :c] = fs[fidx].T
-        geo[ci, _M_FACE, :c] = fidx.astype(np.float32)
-        geo[ci, _M_LIGHT, :c] = fl[fidx]
-        geo[ci, _M_LPV, :c] = fpv[fidx]
-        geo[ci, _M_MAT, :c] = fm[fidx]
-        geo[ci, _M_HASN, :c] = fhn[fidx]
-        geo[ci, _M_HASUV, :c] = fhuv[fidx]
+        wv[4:7, :c] = np.cross(e1, p0).T
+        wv[7:10, :c] = -e1.T
+        geo_w[ci] = _pack_w3(wdet, wt, wu, wv)
+        # occlusion weights: zero columns for faces that cannot block
+        # (primary-invisible lights, integrator.cpp:259-278 step-through)
+        blockm = np.ones(K, np.float32)
+        blockm[:c] = np.where((fl[fidx] >= 0.0) & (fpv[fidx] == 0.0), 0.0, 1.0)
+        geo_w_occl[ci] = _pack_w3(
+            wdet * blockm, wt * blockm, wu * blockm, wv * blockm
+        )
+        geo_shade[ci, 0:24, :c] = fs[fidx].T
+        geo_shade[ci, _S_FACE, :c] = fidx.astype(np.float32)
+        geo_shade[ci, _S_LIGHT, :c] = fl[fidx]
+        geo_shade[ci, _S_LPV, :c] = fpv[fidx]
+        geo_shade[ci, _S_MAT, :c] = fm[fidx]
+        geo_shade[ci, _S_HASN, :c] = fhn[fidx]
+        geo_shade[ci, _S_HASUV, :c] = fhuv[fidx]
 
     # ---- node table (2 packed records per 128-f32 row) -------------------
     mn = len(pcnt)
@@ -240,7 +286,9 @@ def pack_cluster_tables(
         nsc[mn:, 6] = float(mn + npad8)
     return ClusterTables(
         nodes=jnp.asarray(node.reshape(-1, 128)),
-        geo=jnp.asarray(geo),
+        geo_w=jnp.asarray(geo_w),
+        geo_w_occl=jnp.asarray(geo_w_occl),
+        geo_shade=jnp.asarray(geo_shade),
         leaf_bounds=jnp.asarray(leaf_bounds),
         node_scalars=jnp.asarray(nsc),
     )
@@ -270,23 +318,33 @@ def _ray_features(rays_ref):
     return o, d, mint, maxt, feat, zero
 
 
-def _mt_signed(blk, feat, mint, maxt):
+def _write_feat3(feat, f3_ref):
+    """Split the f32 feature matrix hi/lo and lay out the 3-pass stack
+    [f_hi; f_lo; f_hi] (pairs with the [W_hi; W_hi; W_lo] weight rows)."""
+    f_hi = feat.astype(jnp.bfloat16)
+    f_lo = (feat - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    f3_ref[0:16, :] = f_hi
+    f3_ref[16:32, :] = f_lo
+    f3_ref[32:48, :] = f_hi
+
+
+def _mt_signed(wblk, f3, mint, maxt):
     """(ok, st, sd) over (K, BLOCK): sign-folded MT tests on the MXU.
 
-    The acceptance chain is folded into one min-tree: hit iff sd > eps
-    and min(su, sv, sd-su-sv, st-mint*sd, maxt*sd-st) >= 0. (Mosaic only
-    lowers DEFAULT and HIGHEST dot precision; HIGHEST stays -- the winner
-    is re-derived exactly afterwards either way.)"""
-    dg = functools.partial(
-        jax.lax.dot_general,
+    One (48, 512) x (48, BLOCK) bf16 matmul yields all four quantities
+    (3-pass split precision, module docstring idea 3); the VPU runs the
+    sign-folded acceptance chain: hit iff sd > eps and
+    min(su, sv, sd-su-sv, st-mint*sd, maxt*sd-st) >= 0."""
+    prod = jax.lax.dot_general(
+        wblk,
+        f3,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_HIGH,
-    )
-    det = dg(blk[_W_DET : _W_DET + 16], feat)
-    tn = dg(blk[_W_T : _W_T + 16], feat)
-    un = dg(blk[_W_U : _W_U + 16], feat)
-    vn = dg(blk[_W_V : _W_V + 16], feat)
+    )  # (4K, BLOCK)
+    det = prod[0 * K : 1 * K]
+    tn = prod[1 * K : 2 * K]
+    un = prod[2 * K : 3 * K]
+    vn = prod[3 * K : 4 * K]
     s = jnp.where(det < 0.0, -1.0, 1.0)
     sd = det * s
     su = un * s
@@ -303,15 +361,16 @@ def _mt_signed(blk, feat, mint, maxt):
     return ok, st, sd
 
 
-def _nearest_leaf(blk, feat, mint, maxt, iota_k, aux_ref, shade_ref):
+def _nearest_leaf(wblk, f3, sblk, cid, mint, maxt, iota_k, aux_ref, shade_ref):
     """Test one cluster block against the ray block; keep per-lane best t
-    (aux row 0) and the winner's 32 attribute rows (shade_ref).
+    (aux row 0), winner cluster id (aux row 1) and the winner's 32
+    attribute rows (shade_ref).
 
     The expensive tail (K-axis argmin + one-hot attribute fetch, ~2x the
     cost of the test itself) runs only when some lane actually improved --
     on a front-to-back ordered visit sequence most visits improve nothing."""
     tbest = aux_ref[0, :]
-    ok, st, sd = _mt_signed(blk, feat, mint, maxt)
+    ok, st, sd = _mt_signed(wblk, f3, mint, maxt)
     tt = jnp.where(ok, st * pl.reciprocal(sd, approx=True), BIG)
     leaf_min = jnp.min(tt, axis=0)
     improved = (leaf_min < tbest) & (leaf_min < BIG)
@@ -323,7 +382,7 @@ def _nearest_leaf(blk, feat, mint, maxt, iota_k, aux_ref, shade_ref):
             (iota_k == kwin[None, :]) & improved[None, :], 1.0, 0.0
         )
         fetched = jax.lax.dot_general(
-            blk[_SH:],
+            sblk,
             onehot,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -333,23 +392,14 @@ def _nearest_leaf(blk, feat, mint, maxt, iota_k, aux_ref, shade_ref):
             improved[None, :], fetched, shade_ref[:, :]
         )
         aux_ref[0, :] = jnp.where(improved, leaf_min, tbest)
+        aux_ref[1, :] = jnp.where(
+            improved, cid.astype(jnp.float32), aux_ref[1, :]
+        )
 
 
-def _anyhit_leaf_blocked(blk, feat, mint, maxt):
-    """Per-lane 'this cluster blocks the segment' bool; primary-invisible
-    lights do not block (integrator.cpp:259-278 step-through). Mask kept
-    in f32 -- Mosaic cannot minor-dim-broadcast i1 vectors."""
-    ok, _, _ = _mt_signed(blk, feat, mint, maxt)
-    can_block = jnp.where(
-        (blk[_M_LIGHT] >= 0.0) & (blk[_M_LPV] == 0.0), 0.0, 1.0
-    )
-    ok = ok & (can_block[:, None] > 0.5)
-    return jnp.any(ok, axis=0)
-
-
-def _write_nearest_out(out_ref, shade, o, d, zero):
-    """Exact (t, u, v) recompute for the winning face (the in-loop t used
-    an approximate reciprocal; the winner is re-derived at full f32 like
+def _write_nearest_out(out_ref, shade, cluster_row, o, d, zero):
+    """Exact (t, u, v) recompute for the winning face (the in-loop tests
+    ran split-bf16; the winner is re-derived at full f32 like
     mesh.cpp:55-92), then the fused 40-row output write."""
     p0 = (shade[0], shade[1], shade[2])
     e1 = (shade[3] - p0[0], shade[4] - p0[1], shade[5] - p0[2])
@@ -369,7 +419,7 @@ def _write_nearest_out(out_ref, shade, o, d, zero):
     qvz = tvx * e1[1] - tvy * e1[0]
     vv = (d[0] * qvx + d[1] * qvy + d[2] * qvz) * inv_det
     tt = (e2[0] * qvx + e2[1] * qvy + e2[2] * qvz) * inv_det
-    face = shade[_M_FACE - _SH]
+    face = shade[_S_FACE]
     valid = face >= 0.0
     out_ref[0, :] = jnp.where(valid, tt, BIG)
     out_ref[1, :] = jnp.where(valid, uu, 0.0)
@@ -378,22 +428,23 @@ def _write_nearest_out(out_ref, shade, o, d, zero):
     # rows 4:28 shade24; 28:33 meta (light, lpv, mat, has_n, has_uv)
     for r in range(24):
         out_ref[4 + r, :] = shade[r]
-    out_ref[28, :] = shade[_M_LIGHT - _SH]
-    out_ref[29, :] = shade[_M_LPV - _SH]
-    out_ref[30, :] = shade[_M_MAT - _SH]
-    out_ref[31, :] = shade[_M_HASN - _SH]
-    out_ref[32, :] = shade[_M_HASUV - _SH]
-    for r in range(33, OUT_ROWS):
+    out_ref[28, :] = shade[_S_LIGHT]
+    out_ref[29, :] = shade[_S_LPV]
+    out_ref[30, :] = shade[_S_MAT]
+    out_ref[31, :] = shade[_S_HASN]
+    out_ref[32, :] = shade[_S_HASUV]
+    out_ref[33, :] = jnp.where(valid, cluster_row, 0.0)
+    for r in range(34, OUT_ROWS):
         out_ref[r, :] = zero
 
 
 def _init_shade(shade_ref):
     """Miss sentinel rows (face/light = -1, rest 0)."""
     row_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (ROWS - _SH, shade_ref.shape[1]), 0
+        jnp.int32, (SH_ROWS, shade_ref.shape[1]), 0
     )
     shade_ref[:, :] = jnp.where(
-        (row_ids == _M_FACE - _SH) | (row_ids == _M_LIGHT - _SH),
+        (row_ids == _S_FACE) | (row_ids == _S_LIGHT),
         -1.0,
         0.0,
     )
@@ -414,24 +465,32 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
     # reads and the slab test is scalar-vs-(1024,)-vector math, vs the
     # VMEM variant's per-field vector->scalar extracts (~10 per node step,
     # the dominant walk cost).
-    def kernel(
-        rays_ref, nodes_ref, geo_ref, out_ref,
-        buf_ref, sem_ref, list_ref, *tail_refs,
-    ):
+    def kernel(rays_ref, nodes_ref, *rest):
+        if any_hit:
+            geo_w_ref = rest[0]
+            out_ref, wbuf_ref, f3_ref, sem_ref, list_ref = rest[1:6]
+            tail_refs = rest[6:]
+            sblk_ref = None
+        else:
+            geo_w_ref, geo_sh_ref = rest[0:2]
+            (out_ref, wbuf_ref, sbuf_ref, f3_ref, sem_ref,
+             list_ref) = rest[2:8]
+            tail_refs = rest[8:]
         if smem_nodes:
-            ns_smem, shade_ref, aux_ref = tail_refs
+            ns_smem = tail_refs[0]
+            tail_refs = tail_refs[1:]
 
             @pl.when(pl.program_id(0) == 0)
             def _():
                 ndma = pltpu.make_async_copy(
-                    nodes_ref, ns_smem, sem_ref.at[2]
+                    nodes_ref, ns_smem, sem_ref.at[4]
                 )
                 ndma.start()
                 ndma.wait()
 
-        else:
-            shade_ref, aux_ref = tail_refs
+        shade_ref, aux_ref = tail_refs
         o, d, mint, maxt, feat, zero = _ray_features(rays_ref)
+        _write_feat3(feat, f3_ref)
         inv = tuple(1.0 / jnp.where(jnp.abs(c) < 1e-20, 1e-20, c) for c in d)
         n_nodes = (
             nodes_ref.shape[0] if smem_nodes else nodes_ref.shape[0] * 2
@@ -468,13 +527,31 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
             )
             return (tnear <= tfar) & (tfar >= mint) & (tnear <= tmax)
 
-        def get_dma(i, slot):
+        def get_dma_w(i, slot):
             cid = list_ref[i]
             return pltpu.make_async_copy(
-                geo_ref.at[cid],
-                buf_ref.at[pl.ds(slot * ROWS, ROWS), :],
+                geo_w_ref.at[cid],
+                wbuf_ref.at[pl.ds(slot * W_ROWS, W_ROWS), :],
                 sem_ref.at[slot],
             )
+
+        def get_dma_s(i, slot):
+            cid = list_ref[i]
+            return pltpu.make_async_copy(
+                geo_sh_ref.at[cid],
+                sbuf_ref.at[pl.ds(slot * SH_ROWS, SH_ROWS), :],
+                sem_ref.at[2 + slot],
+            )
+
+        def start_dmas(i, slot):
+            get_dma_w(i, slot).start()
+            if not any_hit:
+                get_dma_s(i, slot).start()
+
+        def wait_dmas(i, slot):
+            get_dma_w(i, slot).wait()
+            if not any_hit:
+                get_dma_s(i, slot).wait()
 
         def collect(cursor):
             """Walk nodes from ``cursor``, appending visited leaf cluster
@@ -516,17 +593,23 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
 
             @pl.when(cnt > 0)
             def _():
-                get_dma(0, 0).start()
+                start_dmas(0, 0)
 
             def drain(i, z):
                 slot = jax.lax.rem(i, 2)
 
                 @pl.when(i + 1 < cnt)
                 def _():
-                    get_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+                    start_dmas(i + 1, jax.lax.rem(i + 1, 2))
 
-                get_dma(i, slot).wait()
-                leaf_fn(buf_ref[pl.ds(slot * ROWS, ROWS), :])
+                wait_dmas(i, slot)
+                wblk = wbuf_ref[pl.ds(slot * W_ROWS, W_ROWS), :]
+                sblk = (
+                    None
+                    if any_hit
+                    else sbuf_ref[pl.ds(slot * SH_ROWS, SH_ROWS), :]
+                )
+                leaf_fn(wblk, sblk, list_ref[i])
                 return z
 
             jax.lax.fori_loop(0, cnt, drain, jnp.int32(0))
@@ -536,8 +619,9 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
             aux_ref[0, :] = maxt
             aux_ref[1, :] = zero
 
-            def leaf_fn(blk):
-                hit = _anyhit_leaf_blocked(blk, feat, mint, maxt)
+            def leaf_fn(wblk, sblk, cid):
+                ok, _, _ = _mt_signed(wblk, f3_ref[...], mint, maxt)
+                hit = jnp.any(ok, axis=0)
                 blocked = (aux_ref[1, :] > 0.0) | hit
                 aux_ref[1, :] = jnp.where(blocked, 1.0, 0.0)
                 aux_ref[0, :] = jnp.where(blocked, -1.0, maxt)
@@ -560,13 +644,15 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
                 out_ref[r, :] = zero
         else:
             # aux row 0: per-lane best t (doubles as the walk prune tmax);
-            # shade_ref: the winner's 32 attribute rows
+            # row 1: winner cluster id; shade_ref: winner attribute rows
             aux_ref[0, :] = jnp.minimum(maxt, BIG)
+            aux_ref[1, :] = zero
             _init_shade(shade_ref)
 
-            def leaf_fn(blk):
+            def leaf_fn(wblk, sblk, cid):
                 _nearest_leaf(
-                    blk, feat, mint, maxt, iota_k, aux_ref, shade_ref
+                    wblk, f3_ref[...], sblk, cid, mint, maxt, iota_k,
+                    aux_ref, shade_ref,
                 )
 
             def outer_body(cursor):
@@ -577,24 +663,29 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
             jax.lax.while_loop(
                 lambda c: c < n_nodes, outer_body, jnp.int32(0)
             )
-            _write_nearest_out(out_ref, shade_ref[:, :], o, d, zero)
+            _write_nearest_out(
+                out_ref, shade_ref[:, :], aux_ref[1, :], o, d, zero
+            )
 
     return kernel
 
 
-
-# SMEM walk: max node-scalar rows kept resident (16 f32 each); the budget
-# stays well under the ~1MB scalar memory. 16k nodes covers ~2M triangles.
-SMEM_MAX_NODES = 16384
+# SMEM walk: max node-scalar rows kept resident (16 f32 each). 12288 rows
+# = 768KB, leaving real headroom under the ~1MB scalar memory for the
+# MAXV list/semaphores (advisor r3: 16384 rows was exactly 1MB and could
+# fail Mosaic SMEM allocation near the cap). 12k nodes covers ~1.5M tris.
+SMEM_MAX_NODES = 12288
 
 
 def _kernel_choice(tables: ClusterTables) -> str:
     """'walk_smem' (scalar node reads; fastest measured on every ray class)
     when the node table fits scalar memory, else the VMEM-table walk -- no
     size cliff either way. KAZEN_TRACE_KERNEL=walk/walk_smem overrides
-    for comparison. (A frustum-cull + sorted-drain kernel was built and
-    measured in round 3 -- 24ms coherent / 324ms bounce vs the walk's
-    28/186ms on the hero scene -- and removed: see benchmarks/
+    for comparison; the choice is captured at first trace and baked into
+    the compiled program (changing the env var later does not re-dispatch
+    already-jitted callers). (A frustum-cull + sorted-drain kernel was
+    built and measured in round 3 -- 24ms coherent / 324ms bounce vs the
+    walk's 28/186ms on the hero scene -- and removed: see benchmarks/
     trace_stats.py and git history for the design and numbers.)"""
     import os
 
@@ -629,87 +720,102 @@ def _run(
         extra_scratch = [
             pltpu.SMEM(tuple(tables.node_scalars.shape), jnp.float32),
         ]
-        n_sems = 3
     else:
         node_arg = tables.nodes
         node_spec = pl.BlockSpec(
             tables.nodes.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
         )
         extra_scratch = []
-        n_sems = 2
+    if any_hit:
+        geo_args = (tables.geo_w_occl,)
+        geo_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+        buf_scratch = [
+            pltpu.VMEM((2 * W_ROWS, W_COLS), jnp.bfloat16),  # W double buf
+        ]
+    else:
+        geo_args = (tables.geo_w, tables.geo_shade)
+        geo_specs = [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        buf_scratch = [
+            pltpu.VMEM((2 * W_ROWS, W_COLS), jnp.bfloat16),  # W double buf
+            pltpu.VMEM((2 * SH_ROWS, K), jnp.float32),  # shade double buf
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(n // BLOCK,),
         in_specs=[
             pl.BlockSpec((8, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
             node_spec,
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ]
+        + geo_specs,
         out_specs=pl.BlockSpec(
             (max(out_rows, 8), BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((max(out_rows, 8), n), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2 * ROWS, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((n_sems,)),
+        scratch_shapes=buf_scratch
+        + [
+            pltpu.VMEM((W_ROWS, BLOCK), jnp.bfloat16),  # f3 feature stack
+            pltpu.SemaphoreType.DMA((5,)),
             pltpu.SMEM((MAXV,), jnp.int32),
         ]
         + extra_scratch
         + [
-            pltpu.VMEM((ROWS - _SH, BLOCK), jnp.float32),
+            pltpu.VMEM((SH_ROWS, BLOCK), jnp.float32),
             pltpu.VMEM((8, BLOCK), jnp.float32),
         ],
         interpret=(mode == "interpret"),
-    )(rays_packed, node_arg, tables.geo)
+    )(rays_packed, node_arg, *geo_args)
     return out[:out_rows]
 
 
 def _miss_shade():
     """The (32,) shade column a missed lane carries (face/light = -1)."""
-    col = jnp.zeros(ROWS - _SH, jnp.float32)
-    return col.at[_M_FACE - _SH].set(-1.0).at[_M_LIGHT - _SH].set(-1.0)
+    col = jnp.zeros(SH_ROWS, jnp.float32)
+    return col.at[_S_FACE].set(-1.0).at[_S_LIGHT].set(-1.0)
 
 
 def _run_shim(tables, rays_packed, any_hit):
     """Pure-JAX brute-force reference with kernel-identical semantics
     (chunked over clusters; no traversal -- order only affects exact ties).
-    CPU-backend stand-in so sharding/integration tests run without TPU."""
+    Tests run in exact f32 from the winner-attribute vertices (the same
+    triangles the kernel tests in split-bf16). CPU-backend stand-in so
+    sharding/integration tests run without TPU."""
     o = rays_packed[0:3].T
     d = rays_packed[3:6].T
     mint = rays_packed[6]
     maxt = rays_packed[7]
     n = o.shape[0]
-    C = tables.geo.shape[0]
-    feat = jnp.concatenate(
-        [jnp.ones((n, 1)), o, d, jnp.cross(o, d), jnp.zeros((n, 6))], axis=1
-    )  # (N, 16)
+    C = tables.geo_shade.shape[0]
 
-    def cluster_tests(geo_c):
-        det = feat @ geo_c[_W_DET : _W_DET + 16]  # (N, K)
-        tn = feat @ geo_c[_W_T : _W_T + 16]
-        un = feat @ geo_c[_W_U : _W_U + 16]
-        vn = feat @ geo_c[_W_V : _W_V + 16]
-        s = jnp.where(det < 0.0, -1.0, 1.0)
-        sd = det * s
-        su = un * s
-        sv = vn * s
-        st = tn * s
-        ok = (
-            (sd > _DET_EPS)
-            & (su >= 0.0)
-            & (su <= sd)
-            & (sv >= 0.0)
-            & (su + sv <= sd)
-            & (st >= mint[:, None] * sd)
-            & (st <= maxt[:, None] * sd)
+    from .intersect import moller_trumbore
+
+    def cluster_tests(sh_c):
+        p0 = sh_c[0:3].T  # (K, 3)
+        p1 = sh_c[3:6].T
+        p2 = sh_c[6:9].T
+        real = sh_c[_S_FACE] >= 0.0  # (K,)
+        tt, uu, vv, okd = moller_trumbore(
+            o[:, None, :], d[:, None, :],
+            p0[None, :, :], p1[None, :, :], p2[None, :, :],
         )
-        return ok, st, sd
+        ok = (
+            okd
+            & real[None, :]
+            & (uu >= 0.0)
+            & (vv >= 0.0)
+            & (uu + vv <= 1.0)
+            & (tt >= mint[:, None])
+            & (tt <= maxt[:, None])
+        )
+        return ok, tt
 
     if any_hit:
         def body(c, blocked):
-            geo_c = tables.geo[c]
-            ok, _, _ = cluster_tests(geo_c)
-            inv_light = (geo_c[_M_LIGHT] >= 0.0) & (geo_c[_M_LPV] == 0.0)
+            sh_c = tables.geo_shade[c]
+            ok, _ = cluster_tests(sh_c)
+            inv_light = (sh_c[_S_LIGHT] >= 0.0) & (sh_c[_S_LPV] == 0.0)
             ok = ok & jnp.logical_not(inv_light)[None, :]
             return blocked | jnp.any(ok, axis=1)
 
@@ -718,9 +824,9 @@ def _run_shim(tables, rays_packed, any_hit):
 
     def body(c, carry):
         tbest, cbest, kbest = carry
-        geo_c = tables.geo[c]
-        ok, st, sd = cluster_tests(geo_c)
-        tt = jnp.where(ok, st / jnp.where(ok, sd, 1.0), BIG)
+        sh_c = tables.geo_shade[c]
+        ok, tt = cluster_tests(sh_c)
+        tt = jnp.where(ok, tt, BIG)
         cmin = jnp.min(tt, axis=1)
         kmin = jnp.argmin(tt, axis=1)
         improved = (cmin < tbest) & (cmin < BIG)
@@ -736,17 +842,15 @@ def _run_shim(tables, rays_packed, any_hit):
         body,
         (jnp.minimum(maxt, BIG), jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32)),
     )
-    shade = tables.geo[cbest, _SH:, kbest].T  # (32, N)
+    shade = tables.geo_shade[cbest, :, kbest].T  # (32, N)
     no_hit = tbest >= jnp.minimum(maxt, BIG)
     shade = jnp.where(no_hit[None, :], _miss_shade()[:, None], shade)
-    face = shade[_M_FACE - _SH]
+    face = shade[_S_FACE]
     valid = face >= 0.0
 
     p0 = shade[0:3].T
     p1 = shade[3:6].T
     p2 = shade[6:9].T
-    from .intersect import moller_trumbore
-
     tt, uu, vv, _ = moller_trumbore(o, d, p0, p1, p2)
     out = jnp.zeros((OUT_ROWS, n), jnp.float32)
     out = out.at[0].set(jnp.where(valid, tt, BIG))
@@ -754,11 +858,14 @@ def _run_shim(tables, rays_packed, any_hit):
     out = out.at[2].set(jnp.where(valid, vv, 0.0))
     out = out.at[3].set(jnp.where(valid, face, -1.0))
     out = out.at[4:28].set(shade[0:24])
-    out = out.at[28].set(shade[_M_LIGHT - _SH])
-    out = out.at[29].set(shade[_M_LPV - _SH])
-    out = out.at[30].set(shade[_M_MAT - _SH])
-    out = out.at[31].set(shade[_M_HASN - _SH])
-    out = out.at[32].set(shade[_M_HASUV - _SH])
+    out = out.at[28].set(shade[_S_LIGHT])
+    out = out.at[29].set(shade[_S_LPV])
+    out = out.at[30].set(shade[_S_MAT])
+    out = out.at[31].set(shade[_S_HASN])
+    out = out.at[32].set(shade[_S_HASUV])
+    out = out.at[33].set(
+        jnp.where(valid, cbest.astype(jnp.float32), 0.0)
+    )
     return out
 
 

@@ -29,6 +29,9 @@ class Interaction(NamedTuple):
     material: jnp.ndarray  # (N,) int32
     light: jnp.ndarray  # (N,) int32, -1 = not emissive
     valid: jnp.ndarray  # (N,) bool
+    # BVH cluster id of the hit face (0 where unknown); the next bounce's
+    # packet-coherence sort key (accel/cluster_trace.py out row 33)
+    cluster: jnp.ndarray  # (N,) int32
 
 
 def prepare_from_rows(rays: Rays, rows) -> "tuple[Hit, Interaction]":
@@ -69,6 +72,7 @@ def prepare_from_rows(rays: Rays, rows) -> "tuple[Hit, Interaction]":
     its = _prepare_core(
         hit, p0, p1, p2, n0, n1, n2, uv0, uv1, uv2,
         jnp.zeros_like(face), material, light, has_n, has_uv,
+        cluster=rows[33].astype(jnp.int32),
     )
     return hit, its
 
@@ -99,7 +103,7 @@ def prepare(scene, rays: Rays, hit: Hit) -> Interaction:
 
 def _prepare_core(
     hit, p0, p1, p2, n0, n1, n2, uv0, uv1, uv2,
-    mesh, material, light, has_n, has_uv,
+    mesh, material, light, has_n, has_uv, cluster=None,
 ) -> Interaction:
     b0 = (1.0 - hit.u - hit.v)[:, None]
     b1 = hit.u[:, None]
@@ -175,4 +179,7 @@ def _prepare_core(
         material=material,
         light=jnp.where(hit.valid, light, -1),
         valid=hit.valid,
+        cluster=(
+            jnp.zeros_like(material) if cluster is None else cluster
+        ),
     )

@@ -248,7 +248,7 @@ def test_pack_big_scene_no_size_cliff():
         np.zeros(nf, bool),
     )
     assert tables is not None
-    assert tables.geo.shape[0] >= nf // cluster_trace.K
+    assert tables.geo_shade.shape[0] >= nf // cluster_trace.K
     n = 64
     o = rng.rand(n, 3).astype(np.float32) * 4.0
     d = rng.randn(n, 3).astype(np.float32)

@@ -45,9 +45,14 @@ def jnp_u32(x):
     return jnp.uint32(x)
 
 
-def bench_scene(arrays, static, n_timed=3):
+def bench_scene(arrays, static, n_timed=3, chunk=None):
     """Time steady-state 1-spp passes of the compiled scene; returns
-    (pass_seconds, rays_per_pass, lanes)."""
+    (pass_seconds, rays_per_pass, lanes).
+
+    ``chunk`` splits the pass into fixed-size lane chunks (scatter-splat
+    film): XLA's lane-permutation gathers fall off a cliff past ~1M lanes
+    (48-row permute: 11ms at 518k, 112ms at 2M -- benchmarks/xla_lab.py),
+    so a 1080p pass runs as 4 chunks of 518400."""
     import jax
     import jax.numpy as jnp
 
@@ -60,19 +65,49 @@ def bench_scene(arrays, static, n_timed=3):
     spec = sampler_spec(static)
     h, w = static.height, static.width
     ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    px = jnp.asarray(xs.reshape(-1).astype(np.uint32))
-    py = jnp.asarray(ys.reshape(-1).astype(np.uint32))
+    px_all = xs.reshape(-1).astype(np.uint32)
+    py_all = ys.reshape(-1).astype(np.uint32)
+    n = px_all.shape[0]
+    if chunk is None:
+        chunk = int(os.environ.get("BENCH_CHUNK", 518400))
+    # row-band chunks (scatter-free band splat, one compile for all
+    # chunks); fall back to the whole-grid pass when chunking not needed
+    if n % chunk == 0 and n > chunk and chunk % w == 0:
+        starts = list(range(0, n, chunk))
+        px_c = [jnp.asarray(px_all[s : s + chunk]) for s in starts]
+        py_c = [jnp.asarray(py_all[s : s + chunk]) for s in starts]
+        row0s = [s // w for s in starts]
+        grid = False
+    else:
+        px_c = [jnp.asarray(px_all)]
+        py_c = [jnp.asarray(py_all)]
+        row0s = [0]
+        grid = True
 
-    def one_pass(scene, film, sample_index, jump):
+    def one_pass(scene, film, px, py, sample_index, jump):
         stream = streams.init_stream_jump(spec, px, py, sample_index, jump)
         stream, jitter = streams.next_pixel_2d(spec, stream)
         pixel_sample = jnp.stack([px, py], -1).astype(jnp.float32) + jitter
         stream, aperture = streams.next_2d(spec, stream)
         rays = camera_mod.sample_ray(scene, static, pixel_sample, aperture)
         _, li, nrays = li_fn_for(static)(scene, static, spec, stream, rays)
-        return film_mod.splat_grid(static, film, jitter, li), nrays
+        if grid:
+            return film_mod.splat_grid(static, film, jitter, li), nrays
+        return film_mod.splat_grid_band(static, jitter, li), nrays
 
-    run = jax.jit(one_pass)
+    run_chunk = jax.jit(one_pass)
+
+    def run(scene, film, sample_index, jump):
+        nrays = jnp.float32(0.0)
+        for px, py, row0 in zip(px_c, py_c, row0s):
+            out, nr = run_chunk(scene, film, px, py, sample_index, jump)
+            if grid:
+                film = out
+            else:
+                film = film_mod.accumulate_band(static, film, out, row0)
+            nrays = nrays + nr
+        return film, nrays
+
     film = film_mod.make_film(static)
 
     def jump_for(s):

@@ -132,7 +132,27 @@ def main():
     film_bytes = 1920 * 1080 * 4 * 4 * 2  # 1080p film, x2 ring traffic
     ici_bw = 90e9  # conservative per-chip ICI bandwidth (v5e, one axis)
     t_comm = film_bytes / ici_bw
-    t_pass = 8.19  # measured 1-spp 1080p hero pass on the real chip (bench)
+    # 1-spp 1080p hero pass time: read from the last bench artifact (or
+    # KAZEN_PASS_SECONDS) instead of a hardcoded literal that silently
+    # goes stale as the renderer speeds up (advisor r3)
+    t_pass = None
+    if os.environ.get("KAZEN_PASS_SECONDS"):
+        t_pass = float(os.environ["KAZEN_PASS_SECONDS"])
+    else:
+        import glob as _glob
+        import json as _json
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        benches = sorted(_glob.glob(os.path.join(root, "BENCH_r*.json")))
+        for b in reversed(benches):
+            try:
+                d = _json.load(open(b))
+                t_pass = d["parsed"]["detail"]["hero"]["pass_seconds"]
+                break
+            except Exception:
+                continue
+    if t_pass is None:
+        t_pass = 0.9  # no artifact: current order of magnitude
     modeled_eff = t_pass / (t_pass + t_comm)
 
     payload = {

@@ -315,6 +315,27 @@ def main():
         run("scanline order", o, d, mt_p, t_hull_p, pident, bs)
         run("16x8 tile order", o, d, mt_p, t_hull_p, ptile, bs)
 
+    print("SHARED per-bounce order (one sort serves both traces):")
+    lid = np.asarray(arrays.mesh_light)[np.asarray(arrays.face_mesh)[pickf]]
+    lid = np.maximum(lid, 0).astype(np.uint64)
+    shared_keys = {
+        "cluster|dmorton(path)": (bcl.astype(np.uint64) << 12)
+        | dmorton(bdir, 4),
+        "light|cluster|dmorton(path)": (lid << 40)
+        | (bcl.astype(np.uint64) << 12)
+        | dmorton(bdir, 4),
+        "cluster|light|dmorton(sdir)": (bcl.astype(np.uint64) << 26)
+        | (lid << 24)
+        | dmorton(sdir, 4),
+        "cluster|light|dmorton(path)": (bcl.astype(np.uint64) << 26)
+        | (lid << 24)
+        | dmorton(bdir, 4),
+    }
+    for name, key in shared_keys.items():
+        for bs in (1024,):
+            run(f"path  under {name}", bo, bdir, mt_b, xt_b, key, bs)
+            run(f"shadow under {name}", bo, sdir, mt_b, smaxt, key, bs)
+
     print("shadow rays (NEE):")
     key_s_cur = (
         (octant(sdir) << 27) | (morton(bo, 5) << 12) | dmorton(sdir, 4)

@@ -74,12 +74,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 1024
 K = 128  # triangles per cluster (BVH leaf size)
+WINDOW = 16  # nodes slab-tested per vector batch in the windowed walk
 W_ROWS = 48  # weight rows per cluster: [W_hi; W_hi; W_lo] of (16, 512)
 W_COLS = 4 * K  # four quantity column blocks [det | t | u | v]
 SH_ROWS = 32  # f32 shade rows per cluster (see layout below)
 NODE_F = 64  # 2 node records per 128-float row
 BIG = 3.0e38
-MAXV = 16  # drained leaf-list capacity per walk round (SMEM); small rounds let tbest tighten mid-walk
+# Drained leaf-list capacity per walk round (SMEM). Measured on the hero
+# bounce population (benchmarks/kernel_ablate.py): perfect pruning would
+# visit 19 clusters/block, no pruning 76; the walk sits at ~56 and is
+# insensitive to MAXV (2/4/16 -> 55.1/55.7/58.4 visits, 16 fastest
+# overall) -- the prune lag comes from DFS visit order, not round size.
+# Env override is read at import time (subprocess sweeps).
+import os as _os
+
+MAXV = int(_os.environ.get("KAZEN_TRACE_MAXV", "16"))
 _DET_EPS = 1e-8
 
 # geo_shade row layout -------------------------------------------------------
@@ -94,7 +103,8 @@ _S_HASUV = 29  # mesh has uvs (0/1)
 # fused-output row layout ---------------------------------------------------
 OUT_ROWS = 40
 # 0 t, 1 u, 2 v, 3 face, 4:28 shade24, 28 light, 29 lpv, 30 mat,
-# 31 has_n, 32 has_uv, 33 winner cluster id; rest padding
+# 31 has_n, 32 has_uv, 33 winner cluster id,
+# 34 block visit count, 35 block walk steps (free diagnostics; rest pad)
 
 _HIGH = jax.lax.Precision.HIGHEST
 
@@ -272,18 +282,20 @@ def pack_cluster_tables(
     leaf_bounds[:C, 3:6] = np.asarray(bvh.bounds_max)[leaf_nodes]
 
     # compact scalar node records for the SMEM walk (pad rows: empty box,
-    # cnt 0, skip to the end -- a stray visit falls through harmlessly)
-    npad8 = (-mn) % 8
-    nsc = np.zeros((mn + npad8, 16), np.float32)
+    # cnt 0, skip to the end -- a stray visit falls through harmlessly).
+    # Padded to a WINDOW multiple (>= one window) for the windowed
+    # vector-slab walk's dynamic row slices.
+    npad = (-mn) % WINDOW if mn >= WINDOW else WINDOW - mn
+    nsc = np.zeros((mn + npad, 16), np.float32)
     nsc[:mn, 0:3] = np.asarray(bvh.bounds_min)
     nsc[:mn, 3:6] = np.asarray(bvh.bounds_max)
     nsc[:mn, 6] = np.asarray(bvh.skip).astype(np.float32)
     nsc[:mn, 7] = ccnt
     nsc[:mn, 8] = leaf_row
-    if npad8:
+    if npad:
         nsc[mn:, 0:3] = BIG
         nsc[mn:, 3:6] = -BIG
-        nsc[mn:, 6] = float(mn + npad8)
+        nsc[mn:, 6] = float(mn + npad)
     return ClusterTables(
         nodes=jnp.asarray(node.reshape(-1, 128)),
         geo_w=jnp.asarray(geo_w),
@@ -328,6 +340,16 @@ def _write_feat3(feat, f3_ref):
     f3_ref[32:48, :] = f_hi
 
 
+def _mt_dot(wblk, f3):
+    """The fused four-quantity MT matmul: (48, 512) x (48, BLOCK) bf16."""
+    return jax.lax.dot_general(
+        wblk,
+        f3,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (4K, BLOCK)
+
+
 def _mt_signed(wblk, f3, mint, maxt):
     """(ok, st, sd) over (K, BLOCK): sign-folded MT tests on the MXU.
 
@@ -335,12 +357,7 @@ def _mt_signed(wblk, f3, mint, maxt):
     (3-pass split precision, module docstring idea 3); the VPU runs the
     sign-folded acceptance chain: hit iff sd > eps and
     min(su, sv, sd-su-sv, st-mint*sd, maxt*sd-st) >= 0."""
-    prod = jax.lax.dot_general(
-        wblk,
-        f3,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (4K, BLOCK)
+    prod = _mt_dot(wblk, f3)
     det = prod[0 * K : 1 * K]
     tn = prod[1 * K : 2 * K]
     un = prod[2 * K : 3 * K]
@@ -369,11 +386,32 @@ def _nearest_leaf(wblk, f3, sblk, cid, mint, maxt, iota_k, aux_ref, shade_ref):
     The expensive tail (K-axis argmin + one-hot attribute fetch, ~2x the
     cost of the test itself) runs only when some lane actually improved --
     on a front-to-back ordered visit sequence most visits improve nothing."""
+    import os
+
+    ablate = os.environ.get("KAZEN_TRACE_ABLATE")
     tbest = aux_ref[0, :]
+    if ablate == "notest":
+        # attribution: DMA + loop only; no prune evolution
+        aux_ref[1, :] = jnp.minimum(
+            aux_ref[1, :], jnp.max(wblk[0:1, :].astype(jnp.float32))
+        )
+        return
+    if ablate == "nochain":
+        # attribution: DMA + dot + a cheap consume; no prune evolution
+        prod = _mt_dot(wblk, f3)
+        aux_ref[1, :] = jnp.minimum(aux_ref[1, :], prod[0])
+        return
     ok, st, sd = _mt_signed(wblk, f3, mint, maxt)
     tt = jnp.where(ok, st * pl.reciprocal(sd, approx=True), BIG)
     leaf_min = jnp.min(tt, axis=0)
     improved = (leaf_min < tbest) & (leaf_min < BIG)
+
+    if ablate == "nofetch":
+        # attribution experiments only (benchmarks/): skip the winner
+        # fetch, keep the prune state. Compile-time captured; use a fresh
+        # process per setting.
+        aux_ref[0, :] = jnp.where(improved, leaf_min, tbest)
+        return
 
     @pl.when(jnp.any(improved))
     def _():
@@ -438,16 +476,25 @@ def _write_nearest_out(out_ref, shade, cluster_row, o, d, zero):
         out_ref[r, :] = zero
 
 
+# Rows set to 1.0 in the miss sentinel: p1.x, p2.y and the three vertex
+# normal z components -- a benign unit triangle with +z normals, so the
+# post-trace shade prep (frames, normalize, MT recompute) stays finite on
+# missed lanes. Reverse-mode AD turns NaNs in masked-off where-branches
+# into NaN cotangents (round-3 lesson), so degenerate all-zero geometry on
+# miss lanes is not an option.
+_MISS_ONE_ROWS = (3, 7, 11, 14, 17)
+
+
 def _init_shade(shade_ref):
-    """Miss sentinel rows (face/light = -1, rest 0)."""
+    """Miss sentinel rows (face/light = -1, benign unit triangle)."""
     row_ids = jax.lax.broadcasted_iota(
         jnp.int32, (SH_ROWS, shade_ref.shape[1]), 0
     )
-    shade_ref[:, :] = jnp.where(
-        (row_ids == _S_FACE) | (row_ids == _S_LIGHT),
-        -1.0,
-        0.0,
-    )
+    neg = (row_ids == _S_FACE) | (row_ids == _S_LIGHT)
+    one = jnp.zeros_like(row_ids, jnp.bool_)
+    for r in _MISS_ONE_ROWS:
+        one = one | (row_ids == r)
+    shade_ref[:, :] = jnp.where(neg, -1.0, jnp.where(one, 1.0, 0.0))
 
 
 def _make_kernel(any_hit: bool, smem_nodes: bool = False):
@@ -477,8 +524,8 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
              list_ref) = rest[2:8]
             tail_refs = rest[8:]
         if smem_nodes:
-            ns_smem = tail_refs[0]
-            tail_refs = tail_refs[1:]
+            ns_smem, ns_vmem = tail_refs[0:2]
+            tail_refs = tail_refs[2:]
 
             @pl.when(pl.program_id(0) == 0)
             def _():
@@ -487,6 +534,15 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
                 )
                 ndma.start()
                 ndma.wait()
+                # second copy of the node records into VMEM: the windowed
+                # walk slab-tests WINDOW consecutive nodes as one
+                # (WINDOW, BLOCK) vector batch from these rows, while the
+                # scalar consume loop reads skip/leaf fields from SMEM
+                vdma = pltpu.make_async_copy(
+                    nodes_ref, ns_vmem, sem_ref.at[4]
+                )
+                vdma.start()
+                vdma.wait()
 
         shade_ref, aux_ref = tail_refs
         o, d, mint, maxt, feat, zero = _ray_features(rays_ref)
@@ -553,19 +609,18 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
             if not any_hit:
                 get_dma_s(i, slot).wait()
 
-        def collect(cursor):
-            """Walk nodes from ``cursor``, appending visited leaf cluster
-            ids to list_ref until it is full or the walk ends. Returns
-            (next_cursor, count). Prunes against the per-lane running
-            tmax in aux_ref row 0."""
+        def collect_scalar(cursor, steps):
+            """One-node-per-step walk (VMEM node table variant): each step
+            pays a vector->scalar any() sync (~0.9us measured) -- only
+            used when the node table exceeds scalar memory."""
             tmax = aux_ref[0, :]
 
             def cond(s):
-                c, cnt = s
+                c, cnt, _ = s
                 return (c < n_nodes) & (cnt < MAXV)
 
             def body(s):
-                c, cnt = s
+                c, cnt, stp = s
                 nv = node_vals(c)
                 hit_box = slab(nv, tmax)
                 any_box = jnp.any(hit_box)
@@ -581,9 +636,101 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
                     c + 1,
                     nv(6).astype(jnp.int32),
                 )
-                return nxt, cnt + take.astype(jnp.int32)
+                return nxt, cnt + take.astype(jnp.int32), stp + 1
 
-            return jax.lax.while_loop(cond, body, (cursor, jnp.int32(0)))
+            return jax.lax.while_loop(
+                cond, body, (cursor, jnp.int32(0), steps)
+            )
+
+        def collect_windowed(cursor, steps):
+            """Windowed walk: slab-test WINDOW consecutive nodes as ONE
+            (WINDOW, BLOCK) vector batch, pack the per-node any-lane hits
+            into a single scalar bitmask (one vector->scalar sync per
+            window instead of per node -- the per-step sync was measured
+            at ~0.9us, ~60% of the whole kernel), then consume the window
+            with pure scalar-core SMEM reads. The walk order and prune
+            semantics are identical to the scalar walk: the per-lane tmax
+            is re-read once per collect round either way."""
+            tmax = aux_ref[0, :][None, :]
+            o_b = tuple(c[None, :] for c in o)
+            inv_b = tuple(c[None, :] for c in inv)
+            mint_b = mint[None, :]
+            # exact integer bit weights (exp2 on f32 is approximated by
+            # the VPU and loses bit 15)
+            pow2 = jax.lax.shift_left(
+                jnp.int32(1),
+                jax.lax.broadcasted_iota(jnp.int32, (WINDOW, 1), 0),
+            )
+            n_rows = ns_vmem.shape[0]
+
+            def ocond(s):
+                c, cnt, _ = s
+                return (c < n_nodes) & (cnt < MAXV)
+
+            def obody(s):
+                c, cnt, stp = s
+                w0 = jnp.minimum(c, jnp.int32(n_rows - WINDOW))
+                rows = ns_vmem[pl.ds(w0, WINDOW), :]  # (W, 16)
+                tx0 = (rows[:, 0:1] - o_b[0]) * inv_b[0]
+                tx1 = (rows[:, 3:4] - o_b[0]) * inv_b[0]
+                ty0 = (rows[:, 1:2] - o_b[1]) * inv_b[1]
+                ty1 = (rows[:, 4:5] - o_b[1]) * inv_b[1]
+                tz0 = (rows[:, 2:3] - o_b[2]) * inv_b[2]
+                tz1 = (rows[:, 5:6] - o_b[2]) * inv_b[2]
+                tnear = jnp.maximum(
+                    jnp.maximum(
+                        jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)
+                    ),
+                    jnp.minimum(tz0, tz1),
+                )
+                tfar = jnp.minimum(
+                    jnp.minimum(
+                        jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)
+                    ),
+                    jnp.maximum(tz0, tz1),
+                )
+                hitf = jnp.where(
+                    (tnear <= tfar) & (tfar >= mint_b) & (tnear <= tmax),
+                    1.0,
+                    0.0,
+                )  # (W, BLOCK)
+                m = jnp.max(hitf, axis=1, keepdims=True)  # (W, 1)
+                mask = jnp.sum(
+                    jnp.where(m > 0.5, pow2, 0), dtype=jnp.int32
+                )  # one vector->scalar sync per window
+
+                def icond(t):
+                    c2, cnt2, _ = t
+                    return (
+                        (c2 < w0 + WINDOW) & (c2 < n_nodes) & (cnt2 < MAXV)
+                    )
+
+                def ibody(t):
+                    c2, cnt2, stp2 = t
+                    any_box = (
+                        jax.lax.shift_right_logical(mask, c2 - w0) & 1
+                    ) == 1
+                    is_leaf = ns_smem[c2, 7] > 0.0
+                    take = any_box & is_leaf
+
+                    @pl.when(take)
+                    def _():
+                        list_ref[cnt2] = ns_smem[c2, 8].astype(jnp.int32)
+
+                    nxt = jnp.where(
+                        any_box & jnp.logical_not(is_leaf),
+                        c2 + 1,
+                        ns_smem[c2, 6].astype(jnp.int32),
+                    )
+                    return nxt, cnt2 + take.astype(jnp.int32), stp2 + 1
+
+                return jax.lax.while_loop(icond, ibody, (c, cnt, stp))
+
+            return jax.lax.while_loop(
+                ocond, obody, (cursor, jnp.int32(0), steps)
+            )
+
+        collect = collect_windowed if smem_nodes else collect_scalar
 
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, BLOCK), 0)
 
@@ -627,17 +774,20 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
                 aux_ref[0, :] = jnp.where(blocked, -1.0, maxt)
 
             def outer_body(state):
-                cursor, _ = state
-                cursor, cnt = collect(cursor)
+                cursor, _, vis, stp = state
+                cursor, cnt, stp = collect(cursor, stp)
                 drain_loop(cnt, leaf_fn)
-                return cursor, jnp.all(aux_ref[1, :] > 0.0)
+                return (
+                    cursor, jnp.all(aux_ref[1, :] > 0.0), vis + cnt, stp
+                )
 
             def outer_cond(state):
-                cursor, all_blocked = state
+                cursor, all_blocked, _, _ = state
                 return (cursor < n_nodes) & jnp.logical_not(all_blocked)
 
-            jax.lax.while_loop(
-                outer_cond, outer_body, (jnp.int32(0), False)
+            _, _, vis, stp = jax.lax.while_loop(
+                outer_cond, outer_body,
+                (jnp.int32(0), False, jnp.int32(0), jnp.int32(0)),
             )
             out_ref[0, :] = aux_ref[1, :]
             for r in range(1, out_ref.shape[0]):
@@ -655,17 +805,22 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
                     aux_ref, shade_ref,
                 )
 
-            def outer_body(cursor):
-                cursor, cnt = collect(cursor)
+            def outer_body(state):
+                cursor, vis, stp = state
+                cursor, cnt, stp = collect(cursor, stp)
                 drain_loop(cnt, leaf_fn)
-                return cursor
+                return cursor, vis + cnt, stp
 
-            jax.lax.while_loop(
-                lambda c: c < n_nodes, outer_body, jnp.int32(0)
+            _, vis, stp = jax.lax.while_loop(
+                lambda s: s[0] < n_nodes, outer_body,
+                (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
             )
             _write_nearest_out(
                 out_ref, shade_ref[:, :], aux_ref[1, :], o, d, zero
             )
+            # free per-block diagnostics in the padding rows
+            out_ref[34, :] = zero + vis.astype(jnp.float32)
+            out_ref[35, :] = zero + stp.astype(jnp.float32)
 
     return kernel
 
@@ -719,6 +874,7 @@ def _run(
         node_spec = pl.BlockSpec(memory_space=pltpu.HBM)
         extra_scratch = [
             pltpu.SMEM(tuple(tables.node_scalars.shape), jnp.float32),
+            pltpu.VMEM(tuple(tables.node_scalars.shape), jnp.float32),
         ]
     else:
         node_arg = tables.nodes
@@ -771,9 +927,13 @@ def _run(
 
 
 def _miss_shade():
-    """The (32,) shade column a missed lane carries (face/light = -1)."""
+    """The (32,) shade column a missed lane carries (face/light = -1,
+    benign unit triangle -- see _MISS_ONE_ROWS)."""
     col = jnp.zeros(SH_ROWS, jnp.float32)
-    return col.at[_S_FACE].set(-1.0).at[_S_LIGHT].set(-1.0)
+    col = col.at[_S_FACE].set(-1.0).at[_S_LIGHT].set(-1.0)
+    for r in _MISS_ONE_ROWS:
+        col = col.at[r].set(1.0)
+    return col
 
 
 def _run_shim(tables, rays_packed, any_hit):

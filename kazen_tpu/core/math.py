@@ -135,16 +135,23 @@ def reflect(wi, n):
 
 
 def refract(wi, n, eta):
-    """Snell refraction (common.cpp:522-532); returns 0 on TIR."""
+    """Snell refraction (common.cpp:522-532); returns 0 on TIR.
+
+    The TIR branch substitutes the sqrt argument BEFORE the sqrt:
+    sqrt(maximum(x, 0)) at x <= 0 produces a 0/(2*sqrt(0)) = NaN in
+    reverse mode even with a zero cotangent, which poisons autodiff for
+    the whole batch whenever any lane hits TIR."""
     cos_i = dot(wi, n)
     eta_eff = jnp.where(cos_i < 0.0, 1.0 / eta, eta)
     cos_t2 = 1.0 - (1.0 - cos_i * cos_i) * (eta_eff * eta_eff)
     sign = jnp.where(cos_i >= 0.0, 1.0, -1.0)
+    ok = cos_t2 > 0.0
+    ct = jnp.sqrt(jnp.where(ok, cos_t2, 1.0))
     wt = (
-        n * (-cos_i * eta_eff + sign * jnp.sqrt(jnp.maximum(cos_t2, 0.0)))[..., None]
+        n * (-cos_i * eta_eff + sign * ct)[..., None]
         + wi * eta_eff[..., None]
     )
-    return jnp.where((cos_t2 <= 0.0)[..., None], 0.0, wt)
+    return jnp.where(ok[..., None], wt, 0.0)
 
 
 def fresnel(cos_theta_i, ext_ior, int_ior):
@@ -155,11 +162,13 @@ def fresnel(cos_theta_i, ext_ior, int_ior):
     ci = jnp.abs(cos_theta_i)
     eta = eta_i / eta_t
     sin_t2 = eta * eta * (1.0 - ci * ci)
-    ct = jnp.sqrt(jnp.maximum(1.0 - sin_t2, 0.0))
+    ok = sin_t2 < 1.0
+    # substituted sqrt argument on TIR lanes: see refract() NaN note
+    ct = jnp.sqrt(jnp.where(ok, 1.0 - sin_t2, 1.0))
     rs = (eta_i * ci - eta_t * ct) / (eta_i * ci + eta_t * ct)
     rp = (eta_t * ci - eta_i * ct) / (eta_t * ci + eta_i * ct)
     f = 0.5 * (rs * rs + rp * rp)
-    f = jnp.where(sin_t2 > 1.0, 1.0, f)
+    f = jnp.where(ok, f, 1.0)
     return jnp.where(ext_ior == int_ior, 0.0, f)
 
 
@@ -171,12 +180,14 @@ def fresnel_dielectric(cos_theta_i, eta):
     scale = jnp.where(cos_theta_i > 0.0, 1.0 / eta, eta)
     cos_t2 = 1.0 - (1.0 - cos_theta_i * cos_theta_i) * (scale * scale)
     ci = jnp.abs(cos_theta_i)
-    ct = jnp.sqrt(jnp.maximum(cos_t2, 0.0))
+    ok = cos_t2 > 0.0
+    # substituted sqrt argument on TIR lanes: see refract() NaN note
+    ct = jnp.sqrt(jnp.where(ok, cos_t2, 1.0))
     rs = (ci - eta * ct) / (ci + eta * ct)
     rp = (eta * ci - ct) / (eta * ci + ct)
-    f = jnp.where(cos_t2 <= 0.0, 1.0, 0.5 * (rs * rs + rp * rp))
+    f = jnp.where(ok, 0.5 * (rs * rs + rp * rp), 1.0)
     cos_theta_t = jnp.where(
-        cos_t2 <= 0.0, 0.0, jnp.where(cos_theta_i > 0.0, -ct, ct)
+        ok, jnp.where(cos_theta_i > 0.0, -ct, ct), 0.0
     )
     return f, cos_theta_t
 

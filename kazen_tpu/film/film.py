@@ -158,3 +158,65 @@ def to_srgb8(img):
     return np.asarray(
         jnp.clip(km.to_srgb(jnp.clip(img, 0.0, 1.0)) * 255.0 + 0.5, 0, 255)
     ).astype(np.uint8)
+
+
+def splat_grid_band(static, jitter, value):
+    """splat_grid for a contiguous row band of the pixel grid (lanes = a
+    whole number of rows in row-major order): returns the border-padded
+    (rows + 2B, W, 4) band accumulation; ``accumulate_band`` adds it into
+    the film at the band's row offset with static slices. Chunked passes
+    keep the scatter-free splat this way (TPU scatter-add was measured
+    ~1s per 518k-lane chunk; this is ~ms) and the band shape is
+    chunk-position independent, so one compiled pass serves all chunks.
+    Bit-identical to splat_grid over the full grid."""
+    w = static.width
+    n = value.shape[0]
+    rows = n // w
+    ok = jnp.all(jnp.isfinite(value) & (value >= 0.0), axis=-1)
+    value = jnp.where(ok[:, None], value, 0.0)
+    contrib = jnp.concatenate(
+        [value, jnp.ones_like(value[:, :1])], axis=-1
+    ).reshape(rows, w, 4)
+    jx = (jitter[:, 0] - 0.5).reshape(rows, w)
+    jy = (jitter[:, 1] - 0.5).reshape(rows, w)
+    r = filter_radius(static)
+    d_lo = int(np.ceil(-(r + 0.5)))
+    d_hi = int(np.floor(r + 0.5))
+    B = band_border(static)
+    bh = rows + 2 * B
+    band = jnp.zeros((bh, w, 4), jnp.float32)
+
+    def pad(a):
+        return jnp.zeros((bh, w), a.dtype).at[B : B + rows].set(a)
+
+    contrib_b = jnp.zeros((bh, w, 4), jnp.float32).at[B : B + rows].set(
+        contrib
+    )
+    jx_b = pad(jx)
+    jy_b = pad(jy)
+    for dy in range(d_lo, d_hi + 1):
+        wy = filter_eval(static, dy - jy_b)
+        for dx in range(d_lo, d_hi + 1):
+            wx = filter_eval(static, dx - jx_b)
+            band = band + _shift2d(contrib_b * (wx * wy)[..., None], dy, dx)
+    return band
+
+
+def band_border(static) -> int:
+    """Border rows of a splat band (max filter-footprint shift)."""
+    r = filter_radius(static)
+    return max(
+        int(np.floor(r + 0.5)), -int(np.ceil(-(r + 0.5)))
+    )
+
+
+def accumulate_band(static, film, band, row0: int):
+    """Add a splat band (from splat_grid_band) into the film at rows
+    [row0 - B, row0 + rows + B), clipped to the image."""
+    h = static.height
+    B = band_border(static)
+    bh = band.shape[0]
+    y0 = row0 - B
+    lo = max(0, -y0)
+    hi = bh - max(0, y0 + bh - h)
+    return film.at[y0 + lo : y0 + hi].add(band[lo:hi])

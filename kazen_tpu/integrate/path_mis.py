@@ -112,17 +112,23 @@ def shadow_key(cluster, pick, d):
     )
 
 
-def _trace_sorted(scene, tt, o, d, mint, maxt, any_hit, key=None):
+def _trace_sorted(scene, tt, o, d, mint, maxt, any_hit, key=None, do_sort=None):
     """Key-sorted packet trace: permute packed ray rows in (one (8, N)
     gather), run the Pallas kernel on coherent blocks, permute the result
     rows back (one gather). Dead lanes (maxt < 0) sort last and their
-    blocks exit the kernel on the first test."""
+    blocks exit the kernel on the first test.
+
+    ``do_sort=False`` runs the kernel in caller order with no permutes at
+    all -- the ordered wavefront (li_wavefront) pre-permutes its whole
+    lane state once per bounce instead, and camera rays are coherent in
+    pixel order already."""
     import os
 
     from ..accel import cluster_trace as ct
 
     n = o.shape[0]
-    do_sort = os.environ.get("KAZEN_TRACE_SORT", "1") not in ("0", "false")
+    if do_sort is None:
+        do_sort = os.environ.get("KAZEN_TRACE_SORT", "1") not in ("0", "false")
     rows = jnp.stack(
         [
             o[:, 0], o[:, 1], o[:, 2],
@@ -154,7 +160,7 @@ def _trace_sorted(scene, tt, o, d, mint, maxt, any_hit, key=None):
     return out[:, inv]
 
 
-def intersect_prepare(scene, rays: Rays, key=None):
+def intersect_prepare(scene, rays: Rays, key=None, do_sort=None):
     """Scene::rayIntersect + post-hit shade prep (accel.cpp:63-236) in one
     step. With cluster trace tables attached (the TPU production path) the
     fused Pallas kernel returns the hit *and* the winning face's shading
@@ -171,7 +177,7 @@ def intersect_prepare(scene, rays: Rays, key=None):
         rays_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, rays)
         rows = _trace_sorted(
             scene, tt, rays_ng.o, rays_ng.d, rays_ng.mint, rays_ng.maxt,
-            any_hit=False, key=key,
+            any_hit=False, key=key, do_sort=do_sort,
         )
         return prepare_from_rows(rays, rows)
     hit = intersect(scene, rays)
@@ -207,7 +213,7 @@ def power_heuristic(pdf_a, pdf_b):
 
 
 def _occluded_with_stepthrough(
-    scene, static, o, d, mint, maxt, active, key=None
+    scene, static, o, d, mint, maxt, active, key=None, do_sort=None
 ):
     """Shadow-ray occlusion with the reference's step-through of
     primary-invisible lights (integrator.cpp:259-278): the nearest hit is
@@ -224,7 +230,7 @@ def _occluded_with_stepthrough(
         out = _trace_sorted(
             scene, tt, o, d,
             jnp.broadcast_to(jnp.asarray(mint, jnp.float32), (n,)),
-            maxt, any_hit=True, key=key,
+            maxt, any_hit=True, key=key, do_sort=do_sort,
         )
         return (out[0] > 0.0) & active
 
@@ -266,18 +272,68 @@ def _occluded_with_stepthrough(
     return occluded
 
 
-class _State(NamedTuple):
+def _rows_from_hit(scene, rays, hit):
+    """Build the fused trace-row matrix (cluster_trace.OUT layout) from a
+    gather-backend hit (XLA BVH walk / brute oracle), so the ordered
+    wavefront carries one representation regardless of trace backend."""
+    from ..accel import cluster_trace as ct
+
+    n = hit.t.shape[0]
+    f = jnp.clip(hit.face, 0, scene.F.shape[0] - 1)
+    shade = scene.face_shade[f]  # (N, 24)
+    mesh = scene.face_mesh[f]
+    light = scene.mesh_light[mesh]
+    valid = hit.valid
+    rows = jnp.zeros((ct.OUT_ROWS, n), jnp.float32)
+    rows = rows.at[0].set(jnp.where(valid, hit.t, ct.BIG))
+    rows = rows.at[1].set(hit.u)
+    rows = rows.at[2].set(hit.v)
+    rows = rows.at[3].set(jnp.where(valid, f.astype(jnp.float32), -1.0))
+    rows = rows.at[4:28].set(shade.T)
+    rows = rows.at[28].set(
+        jnp.where(valid, light.astype(jnp.float32), -1.0)
+    )
+    rows = rows.at[29].set(
+        scene.light_primary_vis[jnp.maximum(light, 0)].astype(jnp.float32)
+    )
+    rows = rows.at[30].set(scene.mesh_material[mesh].astype(jnp.float32))
+    rows = rows.at[31].set(scene.mesh_has_normals[mesh].astype(jnp.float32))
+    rows = rows.at[32].set(scene.mesh_has_uvs[mesh].astype(jnp.float32))
+    return rows
+
+
+def _trace_rows(scene, rays: Rays, key=None, do_sort=None):
+    """Nearest-hit trace returning the raw fused rows for either backend."""
+    tt = getattr(scene, "trace_tables", None)
+    if tt is not None:
+        rays_ng = jax.tree_util.tree_map(jax.lax.stop_gradient, rays)
+        return _trace_sorted(
+            scene, tt, rays_ng.o, rays_ng.d, rays_ng.mint, rays_ng.maxt,
+            any_hit=False, key=key, do_sort=do_sort,
+        )
+    return _rows_from_hit(scene, rays, intersect(scene, rays))
+
+
+class _OState(NamedTuple):
+    """Ordered-wavefront scan carry: everything lives in the order of the
+    LAST path trace (sigma_k); one per-bounce permute moves the whole
+    state into the next trace's packet order instead of per-trace
+    sort/unsort gathers (the 40-row result unsort alone was ~11ms/518k
+    lanes, ~2x the trace kernel)."""
+
     stream: streams.StreamState
-    ray_o: jnp.ndarray
-    ray_d: jnp.ndarray
-    its: Interaction
+    ray_o: jnp.ndarray  # (N, 3) rays that produced `rows`
+    ray_d: jnp.ndarray  # (N, 3)
+    rows: jnp.ndarray  # (OUT_ROWS, N) fused hit rows in current order
     li: jnp.ndarray  # (N, 3)
     throughput: jnp.ndarray  # (N, 3)
     eta: jnp.ndarray  # (N,)
-    bsdf_weight: jnp.ndarray  # (N,)
+    bsdf_pdf: jnp.ndarray  # (N,) pdf of the BSDF sample that made ray_d
+    discrete: jnp.ndarray  # (N,) bool: that sample was a delta lobe
     accum_rough: jnp.ndarray  # (N,)
-    alive: jnp.ndarray  # (N,) bool
-    rays: jnp.ndarray  # () f32: useful rays traced (primary+shadow+path)
+    alive: jnp.ndarray  # (N,) bool (not yet masked by rows validity)
+    lane: jnp.ndarray  # (N,) int32 original lane id (for final unscatter)
+    rays: jnp.ndarray  # () f32: useful rays traced
 
 
 def _light_eval_at_hit(scene, its: Interaction, ray_o):
@@ -295,31 +351,55 @@ def _light_pdf_at_hit(scene, its: Interaction, ray_o):
     return lights_mod.pdf_area_light(scene, lidx, its.sh_frame.n, wi, dist)
 
 
-def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
-    """One wavefront bounce; ``draw_rr`` is a traced bool scalar -- when
-    false the RR draw is *not consumed* (per-lane stream state is selected
-    back), matching the reference's depth>=3 conditional draw exactly while
-    keeping the bounce body a single scan iteration. Lane state stays in
-    pixel order throughout; packet coherence is the trace wrappers' job
-    (_trace_sorted permutes ray rows per trace call)."""
-    stream = st.stream
-    its = st.its
-    alive = st.alive
+def _shade_prologue(scene, static, st: _OState):
+    """Bookkeeping for the trace that produced ``st.rows``
+    (integrator.cpp:312-331 re-phased to the top of the next iteration):
+    miss -> background, alive &= valid, and the MIS bsdfWeight for an
+    emitter hit by the BSDF ray (1 for delta lobes / camera rays)."""
     li = st.li
+    valid = st.rows[3] >= 0.0
+    missed = st.alive & ~valid
+    bg = lights_mod.background_radiance(scene, static, st.ray_d)
+    if static.env_importance and static.has_background:
+        w_bg = power_heuristic(
+            st.bsdf_pdf,
+            lights_mod.pdf_env_dir(scene, static, st.ray_d),
+        )
+        w_bg = jnp.where(st.discrete, 1.0, w_bg)
+        li = li + jnp.where(
+            missed[:, None], st.throughput * bg * w_bg[:, None], 0.0
+        )
+    else:
+        li = li + jnp.where(missed[:, None], st.throughput * bg, 0.0)
+    alive = st.alive & valid
+    return li, alive
+
+
+def _bounce_ordered(scene, static, spec, st: _OState, draw_rr) -> _OState:
+    """One bounce of the ordered wavefront. The whole lane state lives in
+    the packet order of the trace that produced ``st.rows``; the shade
+    stage runs in that order, then ONE permute moves rays + state into the
+    next bounce's shared packet order (light | cluster | direction Morton,
+    benchmarks/trace_stats2.py) and both the shadow and the path trace run
+    with no internal sort at all. ``draw_rr`` as before: the RR draw is
+    consumed only when true (reference depth>=3 parity)."""
+    n = st.ray_o.shape[0]
+    stream = st.stream
+
+    # ---- epilogue of the previous trace (integrator.cpp:312-331) ----
+    li, alive = _shade_prologue(scene, static, st)
+    its = prepare_from_rows(
+        Rays(o=st.ray_o, d=st.ray_d,
+             mint=jnp.zeros(n, jnp.float32), maxt=jnp.full(n, INF)),
+        st.rows,
+    )[1]
     throughput = st.throughput
     eta = st.eta
     accum = st.accum_rough
 
-    wi_world = -st.ray_d
-    wi_local = its.sh_frame.to_local(wi_world)
+    wi_local = its.sh_frame.to_local(-st.ray_d)
     lod = None
     if getattr(static, "mip_textures", False):
-        # Mip level from a per-segment ray-cone footprint: world width
-        # t * pixel_cone, mapped to uv space through the *larger* of the
-        # two uv-axis footprints, i.e. the smaller of |dpdu|/|dpdv| (the
-        # isotropic-conservative choice; OIIO's EWA would treat the axes
-        # anisotropically, texture.cpp:46-64). log2 of the uv footprint;
-        # per-texture resolution is added inside eval_texture.
         foot_world = jnp.abs(its.t) * static.pixel_cone
         dp_len = jnp.maximum(
             jnp.minimum(km.norm(its.dpdu), km.norm(its.dpdv)), 1e-6
@@ -330,18 +410,21 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
         sh_frame=its.sh_frame, dpdu=its.dpdu, wi=wi_local, lod=lod,
     )
 
-    # (1) emitter hit terminates the lane (integrator.cpp:226-231)
+    # (1) emitter hit terminates the lane (integrator.cpp:226-231); the
+    # MIS weight is recomputed here from the carried (bsdf_pdf, discrete)
     hit_light = alive & (its.light >= 0)
+    bw = jnp.where(
+        st.discrete,
+        1.0,
+        power_heuristic(st.bsdf_pdf, _light_pdf_at_hit(scene, its, st.ray_o)),
+    )
     le = _light_eval_at_hit(scene, its, st.ray_o)
     li = li + jnp.where(
-        hit_light[:, None],
-        st.bsdf_weight[:, None] * throughput * le,
-        0.0,
+        hit_light[:, None], bw[:, None] * throughput * le, 0.0
     )
     alive = alive & ~hit_light
 
-    # (2) Russian roulette (integrator.cpp:237-244); `<=` keeps 0-throughput
-    # lanes from dividing 0/0. The draw is consumed only when draw_rr.
+    # (2) Russian roulette (integrator.cpp:237-244)
     stream_rr, u_rr = streams.next_1d(spec, stream)
     stream = jax.tree_util.tree_map(
         lambda a, b: jnp.where(draw_rr, a, b), stream_rr, stream
@@ -354,10 +437,8 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
     )
     throughput = throughput * rr_scale[:, None]
 
-    # (3) NEE (integrator.cpp:247-294). With env importance sampling on
-    # (opt-in, beyond reference) the environment joins the uniform light
-    # pick as one extra strategy; draw count/order is unchanged (the env
-    # reuses the two triangle-warp draws as its 2D sample).
+    # (3) NEE sampling (integrator.cpp:247-294); occlusion runs after the
+    # permute, so the masked contribution rides the state
     do_env = static.env_importance and static.has_background
     n_strat = static.num_lights + (1 if do_env else 0)
     if n_strat > 0:
@@ -388,28 +469,22 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
                 nee_maxt = jnp.full(env.pdf.shape, INF)
                 nee_ls = env.ls
                 nee_pdf = env.pdf
-        # Ls / getLightPdf() (integrator.cpp:252)
         ls_val = nee_ls * n_strat
-
-        occluded = _occluded_with_stepthrough(
-            scene,
-            static,
-            its.p,
-            nee_wi,
-            static.trace_bias,
-            # dead lanes get an empty [bias, -1] segment so their blocks
-            # exit the packet walk on the root test
-            jnp.where(alive, nee_maxt, -1.0),
-            alive,
-            key=shadow_key(its.cluster, pick, nee_wi),
-        )
         wo_local = its.sh_frame.to_local(nee_wi)
         f, pdf_b = bsdf_mod.eval_pdf_ctx(static, scene, ctx, wo_local, accum)
         w_light = power_heuristic(nee_pdf, pdf_b)
-        contrib = throughput * ls_val * f * w_light[:, None]
-        li = li + jnp.where((alive & ~occluded)[:, None], contrib, 0.0)
+        contrib = jnp.where(
+            alive[:, None],
+            throughput * ls_val * f * w_light[:, None],
+            0.0,
+        )
+        smaxt = jnp.where(alive, nee_maxt, -1.0)
         n_shadow_rays = jnp.sum(alive.astype(jnp.float32))
     else:
+        pick = jnp.zeros(n, jnp.int32)
+        nee_wi = st.ray_d
+        contrib = jnp.zeros((n, 3), jnp.float32)
+        smaxt = jnp.full(n, -1.0, jnp.float32)
         n_shadow_rays = jnp.float32(0.0)
 
     # (4) roughness-bias firefly control (integrator.cpp:297-301)
@@ -425,131 +500,169 @@ def _bounce(scene, static, spec, st: _State, draw_rr) -> _State:
     res = bsdf_mod.sample_ctx(static, scene, ctx, s1, s2, accum)
     throughput = jnp.where(alive[:, None], throughput * res.weight, throughput)
     eta = jnp.where(alive, eta * res.eta, eta)
-    # zero-weight lanes can never contribute again
     alive = alive & jnp.any(res.weight > 0.0, axis=-1)
+    pd = its.sh_frame.to_world(res.wo)
+    n_path_rays = jnp.sum(alive.astype(jnp.float32))
 
-    bsdf_pdf = res.pdf
+    # ---- ONE permute into the next shared packet order ----
+    key = (
+        (jnp.asarray(pick, jnp.uint32) << 26)
+        | (jnp.minimum(its.cluster, 16383).astype(jnp.uint32) << 12)
+        | _dmorton(pd)
+    )
+    key = jnp.where(alive | (smaxt >= 0.0), key, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(key)
 
-    # (6) trace the BSDF ray (integrator.cpp:312-331)
-    new_d = its.sh_frame.to_world(res.wo)
-    new_o = its.p
-    n = new_o.shape[0]
+    frows = jnp.stack(
+        [
+            its.p[:, 0], its.p[:, 1], its.p[:, 2],
+            nee_wi[:, 0], nee_wi[:, 1], nee_wi[:, 2],
+            smaxt,
+            pd[:, 0], pd[:, 1], pd[:, 2],
+            li[:, 0], li[:, 1], li[:, 2],
+            throughput[:, 0], throughput[:, 1], throughput[:, 2],
+            eta,
+            accum,
+            contrib[:, 0], contrib[:, 1], contrib[:, 2],
+            res.pdf,
+            jnp.where(res.is_discrete, 1.0, 0.0),
+            jnp.where(alive, 1.0, 0.0),
+        ],
+        0,
+    )[:, order]
+    (
+        px_, py_, pz_, swx, swy, swz, smaxt, pdx, pdy, pdz,
+        li0, li1, li2, tp0, tp1, tp2, eta, accum,
+        c0, c1, c2, bsdf_pdf, disc_f, alive_f,
+    ) = frows
+    p = jnp.stack([px_, py_, pz_], -1)
+    swi = jnp.stack([swx, swy, swz], -1)
+    pd = jnp.stack([pdx, pdy, pdz], -1)
+    li = jnp.stack([li0, li1, li2], -1)
+    throughput = jnp.stack([tp0, tp1, tp2], -1)
+    contrib = jnp.stack([c0, c1, c2], -1)
+    alive = alive_f > 0.5
+    discrete = disc_f > 0.5
+
+    urows = jnp.stack(
+        [
+            stream.pcg[0][0], stream.pcg[0][1],
+            stream.pcg[1][0], stream.pcg[1][1],
+            stream.dim, stream.px, stream.py, stream.sample_index,
+            st.lane.astype(jnp.uint32),
+        ],
+        0,
+    )[:, order]
+    stream = streams.StreamState(
+        pcg=((urows[0], urows[1]), (urows[2], urows[3])),
+        dim=urows[4], px=urows[5], py=urows[6], sample_index=urows[7],
+    )
+    lane = urows[8].astype(jnp.int32)
+
+    # ---- shadow trace in the shared order, no internal sort ----
+    if n_strat > 0:
+        occluded = _occluded_with_stepthrough(
+            scene, static, p, swi, static.trace_bias, smaxt,
+            smaxt >= 0.0, do_sort=False,
+        )
+        li = li + jnp.where(occluded[:, None], 0.0, contrib)
+
+    # ---- path trace in the shared order, no internal sort ----
     rays = Rays(
-        o=new_o,
-        d=new_d,
+        o=p,
+        d=pd,
         mint=jnp.full(n, static.trace_bias, jnp.float32),
         maxt=jnp.where(alive, INF, -1.0),
     )
-    hit, new_its = intersect_prepare(
-        scene, rays, key=cluster_key(its.cluster, new_d)
-    )
+    rows = _trace_rows(scene, rays, do_sort=False)
 
-    n_path_rays = jnp.sum(alive.astype(jnp.float32))
-
-    missed = alive & ~hit.valid
-    bg = lights_mod.background_radiance(scene, static, new_d)
-    if static.env_importance and static.has_background:
-        # MIS weight against the env NEE strategy (only exists when env
-        # importance sampling is on; reference escape weight is 1)
-        w_bg = power_heuristic(
-            bsdf_pdf, lights_mod.pdf_env_dir(scene, static, new_d)
-        )
-        w_bg = jnp.where(res.is_discrete, 1.0, w_bg)
-        li = li + jnp.where(
-            missed[:, None], throughput * bg * w_bg[:, None], 0.0
-        )
-    else:
-        li = li + jnp.where(missed[:, None], throughput * bg, 0.0)
-    alive = alive & hit.valid
-
-    # MIS weight for a light hit by the BSDF ray (integrator.cpp:320-331)
-    new_hit_light = alive & (new_its.light >= 0)
-    light_pdf_next = _light_pdf_at_hit(scene, new_its, new_o)
-    bsdf_weight = jnp.where(
-        new_hit_light,
-        power_heuristic(bsdf_pdf, light_pdf_next),
-        st.bsdf_weight,
-    )
-    bsdf_weight = jnp.where(res.is_discrete, 1.0, bsdf_weight)
-
-    # keep lane state frozen where not alive (li already masked)
-    def keep(new, old, mask=alive):
-        extra = (1,) * (new.ndim - mask.ndim)
-        return jnp.where(mask.reshape(mask.shape + extra), new, old)
-
-    its_out = jax.tree_util.tree_map(lambda a, b: keep(a, b), new_its, its)
-    return _State(
+    return _OState(
         stream=stream,
-        ray_o=keep(new_o, st.ray_o),
-        ray_d=keep(new_d, st.ray_d),
-        its=its_out,
+        ray_o=p,
+        ray_d=pd,
+        rows=rows,
         li=li,
         throughput=throughput,
         eta=eta,
-        bsdf_weight=bsdf_weight,
+        bsdf_pdf=bsdf_pdf,
+        discrete=discrete,
         accum_rough=accum,
         alive=alive,
+        lane=lane,
         rays=st.rays + n_shadow_rays + n_path_rays,
     )
 
 
 def li_wavefront(scene, static, spec, stream, rays: Rays):
-    """Integrator::Li over a whole lane batch. Returns (stream, li).
+    """Integrator::Li over a whole lane batch. Returns (stream, li, rays).
 
-    Lane state lives in the caller's (pixel) order for the whole path;
-    each trace call sorts its own ray I/O into coherent packets
-    (_trace_sorted), so no wavefront-wide permutation ever happens."""
+    Ordered-wavefront design: after the primary trace (run in caller/pixel
+    order, coherent by construction), the whole lane state is permuted
+    ONCE per bounce into a shared packet order that serves both the shadow
+    and the path trace (key: picked light | hit cluster | direction
+    Morton); results are scattered back to caller order at the end. Stream
+    consumption per lane is identical to the reference megaloop
+    (integrator.cpp:195-338), so images match at equal (sampler, spp,
+    seed) regardless of the internal order."""
     return _li_wavefront_core(scene, static, spec, stream, rays)
 
 
 def _li_wavefront_core(scene, static, spec, stream, rays: Rays):
     n = rays.o.shape[0]
-    hit, its = intersect_prepare(scene, rays)
+    rows = _trace_rows(scene, rays, do_sort=False)
 
     # Camera-ray punch-through for primary-invisible lights
     # (integrator.cpp:213-220): a single re-cast past the light; if the
     # re-cast misses, the stale light hit is kept (reference behavior).
-    lvis = km.select_rows(
-        jnp.maximum(its.light, 0), scene.light_primary_vis
-    )
-    punch = hit.valid & (its.light >= 0) & ~lvis
+    valid0 = rows[3] >= 0.0
+    punch = valid0 & (rows[28] >= 0.0) & (rows[29] < 0.5)
     if static.num_lights > 0:
-        o2 = its.p + static.trace_bias * rays.d
-        # only punch lanes re-cast; the rest get empty segments so their
-        # sorted-last blocks exit the packet kernel on the first test
+        _, its0 = prepare_from_rows(rays, rows)
+        o2 = its0.p + static.trace_bias * rays.d
         rays2 = Rays(
             o=o2,
             d=rays.d,
             mint=jnp.full(n, EPSILON),
             maxt=jnp.where(punch, INF, -1.0),
         )
-        hit2, its2 = intersect_prepare(scene, rays2)
-        take = punch & hit2.valid
+        rows2 = _trace_rows(scene, rays2, do_sort=False)
+        take = punch & (rows2[3] >= 0.0)
+        rows = jnp.where(take[None, :], rows2, rows)
+        ray_o = jnp.where(take[:, None], o2, rays.o)
+    else:
+        ray_o = rays.o
 
-        def pick(a, b):
-            extra = (1,) * (a.ndim - take.ndim)
-            return jnp.where(take.reshape(take.shape + extra), a, b)
-
-        its = jax.tree_util.tree_map(pick, its2, its)
-
-    st = _State(
+    st = _OState(
         stream=stream,
-        ray_o=rays.o,
+        ray_o=ray_o,
         ray_d=rays.d,
-        its=its,
+        rows=rows,
         li=jnp.zeros((n, 3), jnp.float32),
         throughput=jnp.ones((n, 3), jnp.float32),
         eta=jnp.ones(n, jnp.float32),
-        bsdf_weight=jnp.ones(n, jnp.float32),
+        bsdf_pdf=jnp.zeros(n, jnp.float32),
+        discrete=jnp.ones(n, bool),  # camera "lobe": bsdfWeight = 1
         accum_rough=jnp.zeros(n, jnp.float32),
-        alive=its.valid,
+        alive=rows[3] >= 0.0,
+        lane=jnp.arange(n, dtype=jnp.int32),
         rays=jnp.sum(jnp.ones(n, jnp.float32)),
     )
 
     draw_rr_flags = jnp.arange(static.max_depth) >= 3
 
     def body(carry, flag):
-        return _bounce(scene, static, spec, carry, draw_rr=flag), None
+        return _bounce_ordered(scene, static, spec, carry, draw_rr=flag), None
 
     st, _ = jax.lax.scan(body, st, draw_rr_flags)
-    return st.stream, st.li, st.rays
+
+    # final trace's miss -> background (integrator.cpp:315-318); its
+    # emitter hit is beyond maxDepth and contributes nothing (reference
+    # loop-exit truncation)
+    li, _ = _shade_prologue(scene, static, st)
+
+    # scatter back to caller lane order
+    li_out = jnp.zeros((n, 3), jnp.float32).at[st.lane].set(li)
+    stream_out = jax.tree_util.tree_map(
+        lambda r: jnp.zeros_like(r).at[st.lane].set(r), st.stream
+    )
+    return stream_out, li_out, st.rays

@@ -58,9 +58,11 @@ def sample_area_light(scene, light_idx, ref_p, u_tri, u1, u2):
     if L * max_lf <= 64:
         # two-level fetch: the light-face shade rows form a tiny table
         # (L*max_lf, 24); per-lane rows come from a where-chain, so the
-        # whole light sample runs without a single XLA gather
+        # whole light sample runs without a single XLA gather (max_unroll
+        # matches the 64-row gate -- select_rows' default of 40 would
+        # silently fall back to the gather for 41-64 rows, advisor r3)
         small = scene.face_shade[scene.light_faces.reshape(-1)]
-        row = km.select_rows(light_idx * max_lf + tri, small)
+        row = km.select_rows(light_idx * max_lf + tri, small, max_unroll=64)
     else:
         face = scene.light_faces[light_idx, tri]
         row = scene.face_shade[face]

@@ -8,9 +8,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_use_thunk_runtime" not in flags:
+    # The parallel thunk executor runs data-independent collectives out of
+    # program order per virtual device; with 8 in-process devices on 2
+    # cores the all-gather rendezvous then deadlocks and abort()s the
+    # suite ("Fatal Python error: Aborted" in AllGatherThunk::Execute,
+    # seen on the sharded inverse-step grad test). Sequential thunk
+    # execution restores a consistent collective order.
+    flags = (flags + " --xla_cpu_use_thunk_runtime=false").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
@@ -19,7 +26,25 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite is compile-bound on CPU (big
 # unrolled integrator graphs), so warm re-runs of unchanged code drop from
 # minutes to seconds. Keyed by HLO, so source changes recompile as usual.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+#
+# The cache holds MACHINE-SPECIFIC XLA:CPU executables; entries written on
+# a different host (the bench driver's machine shares this repo dir) load
+# with mismatched codegen features and abort the process mid-suite
+# ("Fatal Python error: Aborted", +prefer-no-scatter AOT warnings). Key
+# the CPU test cache by a host CPU fingerprint to keep hosts separate.
+import hashlib
+
+try:
+    with open("/proc/cpuinfo") as f:
+        _flags = next(
+            (l for l in f if l.startswith("flags")), ""
+        )
+    _fp = hashlib.sha1(_flags.encode()).hexdigest()[:12]
+except OSError:
+    _fp = "nohost"
+_cache_dir = os.path.join(
+    os.path.dirname(__file__), "..", ".jax_cache", f"cpu-{_fp}"
+)
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 try:

@@ -125,7 +125,11 @@ def test_kernel_interpret_matches_shim():
     rk, rs = np.asarray(rows_k), np.asarray(rows_s)
     same = rk[3] == rs[3]
     assert same.mean() > 0.99
-    np.testing.assert_allclose(rk[:, same], rs[:, same], rtol=1e-4, atol=1e-5)
+    # rows 34/35 are kernel-side walk diagnostics (visit/step counters);
+    # the shim has no walk, so compare the semantic rows only
+    np.testing.assert_allclose(
+        rk[:34, same], rs[:34, same], rtol=1e-4, atol=1e-5
+    )
     occ_k = cluster_trace.occluded(
         tt, rays.o, rays.d, rays.mint, jnp.full(rays.o.shape[0], 1.5),
         mode="interpret",
@@ -307,7 +311,7 @@ rk = np.asarray(cluster_trace.trace(tt, o, d, mint, maxt, mode="tpu"))
 rs = np.asarray(cluster_trace.trace(tt, o, d, mint, maxt, mode="shim"))
 same = rk[3] == rs[3]
 assert same.mean() > 0.99, same.mean()
-np.testing.assert_allclose(rk[:, same], rs[:, same], rtol=1e-4, atol=1e-4)
+np.testing.assert_allclose(rk[:34, same], rs[:34, same], rtol=1e-4, atol=1e-4)
 ok = np.asarray(cluster_trace.occluded(tt, o, d, mint, jnp.full(n, 1.5), mode="tpu"))
 os_ = np.asarray(cluster_trace.occluded(tt, o, d, mint, jnp.full(n, 1.5), mode="shim"))
 assert (ok == os_).mean() > 0.999

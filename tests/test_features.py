@@ -155,3 +155,38 @@ def test_thinlens_depth_of_field():
         return g
 
     assert sharpness(imgs["thinlens"]) < sharpness(imgs["pinhole"])
+
+
+def test_splat_grid_band_matches_full():
+    """Chunked row-band splat == whole-grid splat, bit-for-bit (the bench
+    and chunked render paths accumulate bands; scatter splat was ~1s per
+    518k-lane chunk on TPU)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kazen_tpu.film import film as film_mod
+    from kazen_tpu.scene import description as D
+    from kazen_tpu.scene.compiler import compile_scene
+
+    import scenes
+
+    sc = scenes.cornell_box(width=16, height=12)
+    _, static = compile_scene(sc)
+    h, w = static.height, static.width
+    rng = np.random.default_rng(0)
+    jitter = jnp.asarray(rng.random((h * w, 2), dtype=np.float32))
+    value = jnp.asarray(rng.random((h * w, 3), dtype=np.float32))
+
+    full = film_mod.splat_grid(
+        static, film_mod.make_film(static), jitter, value
+    )
+
+    film = film_mod.make_film(static)
+    rows_per = 4
+    for row0 in range(0, h, rows_per):
+        s = slice(row0 * w, (row0 + rows_per) * w)
+        band = film_mod.splat_grid_band(static, jitter[s], value[s])
+        film = film_mod.accumulate_band(static, film, band, row0)
+    np.testing.assert_allclose(
+        np.asarray(film), np.asarray(full), rtol=1e-6, atol=1e-6
+    )

@@ -72,9 +72,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 BLOCK = 1024
 K = 128  # triangles per cluster (BVH leaf size)
-WINDOW = 16  # nodes slab-tested per vector batch in the windowed walk
+# Nodes slab-tested per vector batch in the windowed walk. Must stay <= 32:
+# the per-window any-lane-hit bits pack into ONE int32 bitmask (bit 31 is
+# fine -- logical shifts -- but bit 32+ silently vanishes and drops whole
+# subtrees; a WINDOW=64 experiment "won" by skipping geometry).
+WINDOW = min(int(_os.environ.get("KAZEN_TRACE_WINDOW", "32")), 32)
 W_ROWS = 48  # weight rows per cluster: [W_hi; W_hi; W_lo] of (16, 512)
 W_COLS = 4 * K  # four quantity column blocks [det | t | u | v]
 SH_ROWS = 32  # f32 shade rows per cluster (see layout below)
@@ -86,8 +92,6 @@ BIG = 3.0e38
 # insensitive to MAXV (2/4/16 -> 55.1/55.7/58.4 visits, 16 fastest
 # overall) -- the prune lag comes from DFS visit order, not round size.
 # Env override is read at import time (subprocess sweeps).
-import os as _os
-
 MAXV = int(_os.environ.get("KAZEN_TRACE_MAXV", "16"))
 _DET_EPS = 1e-8
 
@@ -122,13 +126,29 @@ class ClusterTables(NamedTuple):
     # rows carry an empty (inverted) box. Metadata: the real cluster count
     # is (min.x <= max.x).sum().
     leaf_bounds: jnp.ndarray
-    # compact per-node scalar records (Nn8, 16) f32
+    # compact per-node scalar records (NO, Nn, 16) f32
     # [bmin3, bmax3, skip, prim_count, leaf_row, 0...]: the SMEM-walk
     # kernel DMAs this once and reads node fields as *scalars* -- SMEM
     # scalar reads are single-cycle, where extracting node fields from a
     # VMEM vector row costs a vector->scalar transfer per field (the
     # dominant per-step cost of the VMEM walk kernel).
+    #
+    # NO = 8 per-direction-octant linearizations of the *collapsed*
+    # cluster tree (round 5): each is a preorder DFS in which the child
+    # nearer along that octant's direction signs is emitted first, so a
+    # ray block walking "its" table sees clusters approximately
+    # front-to-back and tbest prunes early (DFS build order pruned almost
+    # nothing: 58.4 pruned vs 76.3 unpruned visits/block on hero bounce
+    # rays, benchmarks/kernel_ablate.py). The kernel picks the table by
+    # majority octant of the block's live rays. NO = 1 (build order only)
+    # when 8 tables would exceed the SMEM budget.
     node_scalars: jnp.ndarray
+    # the same records packed 8 nodes per 128-float row ((NO*Nn)/8, 128):
+    # SMEM scratch pads the minor dimension to 128 lanes on this jaxlib,
+    # so the walk's SMEM copy uses the dense packing (field i of node n =
+    # row n>>3, col ((n&7)<<4)+i) while the windowed vector slab test
+    # reads the (NO*Nn, 16) layout from VMEM.
+    node_packed: jnp.ndarray
 
 
 def _split_bf16(w: np.ndarray):
@@ -254,48 +274,118 @@ def pack_cluster_tables(
         geo_shade[ci, _S_HASN, :c] = fhn[fidx]
         geo_shade[ci, _S_HASUV, :c] = fhuv[fidx]
 
-    # ---- node table (2 packed records per 128-f32 row) -------------------
-    mn = len(pcnt)
-    leaf_row = np.zeros(mn, np.float32)
-    leaf_row[leaf_nodes] = np.arange(C, dtype=np.float32)
-    # collapsed leaf counts: cluster roots become leaves; nodes inside a
-    # collapsed subtree are never reached (the walk jumps root -> skip)
-    ccnt = np.zeros(mn, np.float32)
-    for ci, nidx in enumerate(leaf_nodes):
-        ccnt[nidx] = float(cluster_sizes[ci])
-    mpad = (-mn) % 2
-    node = np.zeros((mn + mpad, NODE_F), np.float32)
-    node[:mn, 0:3] = np.asarray(bvh.bounds_min)
-    node[:mn, 3:6] = np.asarray(bvh.bounds_max)
-    node[:mn, 6] = np.asarray(bvh.skip).astype(np.float32)
-    node[:mn, 7] = ccnt
-    node[:mn, 8] = leaf_row
-    if mpad:
-        node[mn:, 0:3] = BIG
-        node[mn:, 3:6] = -BIG
-        node[mn:, 6] = float(mn + mpad)
+    # ---- compact collapsed tree ------------------------------------------
+    # Only internal nodes above cluster roots plus the cluster roots
+    # themselves are reachable by the escape walk; rebuild that tree
+    # explicitly (M = 2C-1 nodes) so the walk tables carry no dead
+    # interior rows. Children in the original skip-linked layout: for a
+    # live internal node i, left = i+1 and right = skip[left].
+    is_croot = np.zeros(mn_all, bool)
+    is_croot[leaf_nodes] = True
+    bmin_all = np.asarray(bvh.bounds_min)
+    bmax_all = np.asarray(bvh.bounds_max)
+    croot_cluster = np.full(mn_all, -1, np.int64)
+    croot_cluster[leaf_nodes] = np.arange(C)
+
+    # compact preorder (original build order), children, subtree sizes
+    cid_of = np.full(mn_all, -1, np.int64)
+    corig, cleft, cright = [], [], []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        cid_of[i] = len(corig)
+        corig.append(i)
+        cleft.append(-1)
+        cright.append(-1)
+        if not is_croot[i]:
+            a = i + 1
+            b = int(nskip[a])
+            me = cid_of[i]
+            stack.append(b)
+            stack.append(a)
+            cleft[me] = a  # original ids; remapped below
+            cright[me] = b
+    M = len(corig)
+    corig = np.asarray(corig)
+    cleft = np.asarray(cleft)
+    cright = np.asarray(cright)
+    csize = np.ones(M, np.int64)
+    for m in range(M - 1, -1, -1):  # children appear after parents in preorder
+        if cleft[m] >= 0:
+            csize[m] += csize[cid_of[cleft[m]]] + csize[cid_of[cright[m]]]
+    ccenter = (bmin_all[corig] + bmax_all[corig]) * 0.5
+
+    npad = (-M) % WINDOW if M >= WINDOW else WINDOW - M
+    Nn = M + npad
+    n_orders = 8 if 8 * Nn <= SMEM_MAX_NODES else 1
+    nsc = np.zeros((n_orders, Nn, 16), np.float32)
+    order0 = None
+    for o in range(n_orders):
+        sgn = (1.0 if o & 4 else -1.0, 1.0 if o & 2 else -1.0,
+               1.0 if o & 1 else -1.0)
+        # preorder DFS, near child first for this octant: the split axis is
+        # the axis of largest child-center separation; along it, a
+        # positive-direction ray reaches the smaller-center child first
+        emit = np.empty(M, np.int64)  # emitted order -> compact id
+        pos = 0
+        stack = [0]
+        while stack:
+            m = stack.pop()
+            emit[pos] = m
+            pos += 1
+            if cleft[m] >= 0:
+                a = cid_of[cleft[m]]
+                b = cid_of[cright[m]]
+                sep = ccenter[a] - ccenter[b]
+                ax = int(np.argmax(np.abs(sep)))
+                near_is_a = (sep[ax] * sgn[ax]) < 0.0
+                first, second = (a, b) if near_is_a else (b, a)
+                stack.append(second)
+                stack.append(first)
+        npos = np.empty(M, np.int64)  # compact id -> emitted position
+        npos[emit] = np.arange(M)
+        eo = corig[emit]
+        nsc[o, :M, 0:3] = bmin_all[eo]
+        nsc[o, :M, 3:6] = bmax_all[eo]
+        nsc[o, :M, 6] = (np.arange(M) + csize[emit]).astype(np.float32)
+        nsc[o, :M, 7] = np.where(
+            is_croot[eo], cluster_sizes[croot_cluster[eo]], 0
+        ).astype(np.float32)
+        nsc[o, :M, 8] = np.maximum(croot_cluster[eo], 0).astype(np.float32)
+        if npad:
+            nsc[o, M:, 0:3] = BIG
+            nsc[o, M:, 3:6] = -BIG
+            nsc[o, M:, 6] = float(Nn)
+        if o == 0:
+            order0 = eo
+    assert n_orders == 1 or np.all(
+        nsc[0, :M, 6] >= np.arange(M) + 1
+    ), "skip links must advance"
+
+    # VMEM-fallback node table (2 packed records per 128-f32 row), octant-0
+    # compact ordering
+    mpad2 = (-M) % 2
+    node = np.zeros((M + mpad2, NODE_F), np.float32)
+    node[:M, :16] = nsc[0, :M]
+    if mpad2:
+        node[M:, 0:3] = BIG
+        node[M:, 3:6] = -BIG
+        node[M:, 6] = float(M + mpad2)
+    del order0
 
     cpad = (-C) % 128
     leaf_bounds = np.full((C + cpad, 6), BIG, np.float32)
     leaf_bounds[:, 3:6] = -BIG
-    leaf_bounds[:C, 0:3] = np.asarray(bvh.bounds_min)[leaf_nodes]
-    leaf_bounds[:C, 3:6] = np.asarray(bvh.bounds_max)[leaf_nodes]
+    leaf_bounds[:C, 0:3] = bmin_all[leaf_nodes]
+    leaf_bounds[:C, 3:6] = bmax_all[leaf_nodes]
 
-    # compact scalar node records for the SMEM walk (pad rows: empty box,
-    # cnt 0, skip to the end -- a stray visit falls through harmlessly).
-    # Padded to a WINDOW multiple (>= one window) for the windowed
-    # vector-slab walk's dynamic row slices.
-    npad = (-mn) % WINDOW if mn >= WINDOW else WINDOW - mn
-    nsc = np.zeros((mn + npad, 16), np.float32)
-    nsc[:mn, 0:3] = np.asarray(bvh.bounds_min)
-    nsc[:mn, 3:6] = np.asarray(bvh.bounds_max)
-    nsc[:mn, 6] = np.asarray(bvh.skip).astype(np.float32)
-    nsc[:mn, 7] = ccnt
-    nsc[:mn, 8] = leaf_row
-    if npad:
-        nsc[mn:, 0:3] = BIG
-        nsc[mn:, 3:6] = -BIG
-        nsc[mn:, 6] = float(mn + npad)
+    nsc_flat = nsc.reshape(-1, 16)
+    rpad = (-nsc_flat.shape[0]) % 8
+    if rpad:
+        nsc_flat = np.concatenate(
+            [nsc_flat, np.zeros((rpad, 16), np.float32)], 0
+        )
+    node_packed = nsc_flat.reshape(-1, 128)
     return ClusterTables(
         nodes=jnp.asarray(node.reshape(-1, 128)),
         geo_w=jnp.asarray(geo_w),
@@ -303,6 +393,7 @@ def pack_cluster_tables(
         geo_shade=jnp.asarray(geo_shade),
         leaf_bounds=jnp.asarray(leaf_bounds),
         node_scalars=jnp.asarray(nsc),
+        node_packed=jnp.asarray(node_packed),
     )
 
 
@@ -378,14 +469,20 @@ def _mt_signed(wblk, f3, mint, maxt):
     return ok, st, sd
 
 
-def _nearest_leaf(wblk, f3, sblk, cid, mint, maxt, iota_k, aux_ref, shade_ref):
-    """Test one cluster block against the ray block; keep per-lane best t
-    (aux row 0), winner cluster id (aux row 1) and the winner's 32
-    attribute rows (shade_ref).
+WIN_CAP = 512  # SMEM improving-cluster list capacity per block
 
-    The expensive tail (K-axis argmin + one-hot attribute fetch, ~2x the
-    cost of the test itself) runs only when some lane actually improved --
-    on a front-to-back ordered visit sequence most visits improve nothing."""
+
+def _nearest_leaf(wblk, f3, cid, mint, maxt, aux_ref, wlist_ref, wcnt_ref):
+    """Test one cluster block against the ray block; keep per-lane best t
+    (aux row 0), winner cluster id (aux row 1) and winner triangle index
+    within its cluster (aux row 2).
+
+    Round 5: the winner's 32 attribute rows are NOT fetched here -- the
+    drain loop carries only (t, cid, k) and appends improving cluster ids
+    to an SMEM list; the fetch (shade DMA + one-hot matmul) happens ONCE
+    per improving cluster at walk end (_fetch_winners). That removes the
+    per-visit shade DMA and the redundant fetches for clusters later
+    beaten by a nearer one."""
     import os
 
     ablate = os.environ.get("KAZEN_TRACE_ABLATE")
@@ -408,16 +505,60 @@ def _nearest_leaf(wblk, f3, sblk, cid, mint, maxt, iota_k, aux_ref, shade_ref):
 
     if ablate == "nofetch":
         # attribution experiments only (benchmarks/): skip the winner
-        # fetch, keep the prune state. Compile-time captured; use a fresh
-        # process per setting.
+        # tracking, keep the prune state. Compile-time captured; use a
+        # fresh process per setting.
         aux_ref[0, :] = jnp.where(improved, leaf_min, tbest)
         return
 
     @pl.when(jnp.any(improved))
     def _():
-        kwin = jnp.argmin(tt, axis=0)
+        kwin = jnp.argmin(tt, axis=0).astype(jnp.float32)
+        aux_ref[0, :] = jnp.where(improved, leaf_min, tbest)
+        aux_ref[1, :] = jnp.where(
+            improved, cid.astype(jnp.float32), aux_ref[1, :]
+        )
+        aux_ref[2, :] = jnp.where(improved, kwin, aux_ref[2, :])
+        wc = wcnt_ref[0]
+        wlist_ref[jnp.minimum(wc, WIN_CAP - 1)] = cid
+        wcnt_ref[0] = wc + 1
+
+
+def _fetch_winners(
+    geo_sh_ref, sbuf_ref, sem_ref, wlist_ref, wcnt_ref, iota_k, aux_ref,
+    shade_ref,
+):
+    """Walk-end winner-attribute fetch: one shade DMA + one-hot matmul per
+    improving cluster (SMEM list, no syncs), then a sync-per-iteration
+    cleanup loop that is a no-op unless the list overflowed WIN_CAP.
+    aux rows: 1 = winner cluster id (-1 miss), 2 = winner k, 3 = fetched
+    flag (pre-set for miss lanes)."""
+    aux_ref[3, :] = jnp.where(aux_ref[1, :] < 0.0, 1.0, 0.0)
+    cnt = jnp.minimum(wcnt_ref[0], WIN_CAP)
+    kb = aux_ref[2, :].astype(jnp.int32)
+
+    NSL = 4  # shade prefetch depth (end fetch is DMA-latency-bound)
+
+    def get_dma(i, slot):
+        return pltpu.make_async_copy(
+            geo_sh_ref.at[wlist_ref[i]],
+            sbuf_ref.at[pl.ds(slot * SH_ROWS, SH_ROWS), :],
+            sem_ref.at[MAXV + slot],
+        )
+
+    def prime(i, z):
+        get_dma(i, i).start()
+        return z
+
+    jax.lax.fori_loop(0, jnp.minimum(cnt, NSL), prime, jnp.int32(0))
+
+    def body(i, z):
+        slot = jax.lax.rem(i, NSL)
+        get_dma(i, slot).wait()
+        cid_f = wlist_ref[i].astype(jnp.float32)
+        sel = (aux_ref[1, :] == cid_f) & (aux_ref[3, :] == 0.0)
+        sblk = sbuf_ref[pl.ds(slot * SH_ROWS, SH_ROWS), :]
         onehot = jnp.where(
-            (iota_k == kwin[None, :]) & improved[None, :], 1.0, 0.0
+            (iota_k == kb[None, :]) & sel[None, :], 1.0, 0.0
         )
         fetched = jax.lax.dot_general(
             sblk,
@@ -426,13 +567,60 @@ def _nearest_leaf(wblk, f3, sblk, cid, mint, maxt, iota_k, aux_ref, shade_ref):
             preferred_element_type=jnp.float32,
             precision=_HIGH,
         )  # (32, BLOCK)
-        shade_ref[:, :] = jnp.where(
-            improved[None, :], fetched, shade_ref[:, :]
+        shade_ref[:, :] = jnp.where(sel[None, :], fetched, shade_ref[:, :])
+        aux_ref[3, :] = jnp.where(sel, 1.0, aux_ref[3, :])
+
+        # refill this slot only after its buffer was consumed (an
+        # issue-before-wait variant silently clobbered the slot)
+        @pl.when(i + NSL < cnt)
+        def _():
+            get_dma(i + NSL, slot).start()
+
+        return z
+
+    jax.lax.fori_loop(0, cnt, body, jnp.int32(0))
+
+    # overflow cleanup (list wrapped): fetch remaining lanes one distinct
+    # winner cluster at a time. Skipped entirely in the common case.
+    @pl.when(wcnt_ref[0] > WIN_CAP)
+    def _():
+        def cond(rem):
+            return rem > 0
+
+        def cbody(rem):
+            unf = aux_ref[3, :] == 0.0
+            target = jnp.max(jnp.where(unf, aux_ref[1, :], -1.0))
+            cid_i = target.astype(jnp.int32)
+            dma = pltpu.make_async_copy(
+                geo_sh_ref.at[cid_i],
+                sbuf_ref.at[pl.ds(0, SH_ROWS), :],
+                sem_ref.at[MAXV],
+            )
+            dma.start()
+            dma.wait()
+            sel = unf & (aux_ref[1, :] == target)
+            onehot = jnp.where(
+                (iota_k == kb[None, :]) & sel[None, :], 1.0, 0.0
+            )
+            fetched = jax.lax.dot_general(
+                sbuf_ref[pl.ds(0, SH_ROWS), :],
+                onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_HIGH,
+            )
+            shade_ref[:, :] = jnp.where(
+                sel[None, :], fetched, shade_ref[:, :]
+            )
+            aux_ref[3, :] = jnp.where(sel, 1.0, aux_ref[3, :])
+            return jnp.sum(
+                jnp.where(aux_ref[3, :] == 0.0, 1, 0), dtype=jnp.int32
+            )
+
+        rem0 = jnp.sum(
+            jnp.where(aux_ref[3, :] == 0.0, 1, 0), dtype=jnp.int32
         )
-        aux_ref[0, :] = jnp.where(improved, leaf_min, tbest)
-        aux_ref[1, :] = jnp.where(
-            improved, cid.astype(jnp.float32), aux_ref[1, :]
-        )
+        jax.lax.while_loop(cond, cbody, rem0)
 
 
 def _write_nearest_out(out_ref, shade, cluster_row, o, d, zero):
@@ -497,7 +685,8 @@ def _init_shade(shade_ref):
     shade_ref[:, :] = jnp.where(neg, -1.0, jnp.where(one, 1.0, 0.0))
 
 
-def _make_kernel(any_hit: bool, smem_nodes: bool = False):
+def _make_kernel(any_hit: bool, smem_nodes: bool = False,
+                 nn_stride: int = 0, n_orders: int = 1):
     # Mosaic (jax 0.9) constraint, found by bisection: vector values carried
     # through lax.while_loop/fori_loop abort the compiler when the loop body
     # mixes 2D (sublane x lane) math -- 2D carries crash outright and 1D
@@ -513,6 +702,8 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
     # VMEM variant's per-field vector->scalar extracts (~10 per node step,
     # the dominant walk cost).
     def kernel(rays_ref, nodes_ref, *rest):
+        if smem_nodes:
+            rest_nodes, rest = rest[:1], rest[1:]
         if any_hit:
             geo_w_ref = rest[0]
             out_ref, wbuf_ref, f3_ref, sem_ref, list_ref = rest[1:6]
@@ -524,38 +715,79 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
              list_ref) = rest[2:8]
             tail_refs = rest[8:]
         if smem_nodes:
+            nflat_ref = rest_nodes[0]
             ns_smem, ns_vmem = tail_refs[0:2]
             tail_refs = tail_refs[2:]
 
             @pl.when(pl.program_id(0) == 0)
             def _():
+                # packed records -> SMEM (scalar consume reads); flat
+                # records -> VMEM (the windowed walk slab-tests WINDOW
+                # consecutive node rows as one vector batch)
                 ndma = pltpu.make_async_copy(
-                    nodes_ref, ns_smem, sem_ref.at[4]
+                    nodes_ref, ns_smem, sem_ref.at[MAXV + 4]
                 )
                 ndma.start()
                 ndma.wait()
-                # second copy of the node records into VMEM: the windowed
-                # walk slab-tests WINDOW consecutive nodes as one
-                # (WINDOW, BLOCK) vector batch from these rows, while the
-                # scalar consume loop reads skip/leaf fields from SMEM
                 vdma = pltpu.make_async_copy(
-                    nodes_ref, ns_vmem, sem_ref.at[4]
+                    nflat_ref, ns_vmem, sem_ref.at[MAXV + 4]
                 )
                 vdma.start()
                 vdma.wait()
 
-        shade_ref, aux_ref = tail_refs
+            def nsf(n2, i):
+                """Scalar field i of node record n2 from the packed SMEM
+                rows (8 records per 128-float row)."""
+                return ns_smem[
+                    jax.lax.shift_right_logical(n2, 3),
+                    jax.lax.shift_left(jnp.bitwise_and(n2, 7), 4) + i,
+                ]
+
+        if any_hit:
+            shade_ref, aux_ref = tail_refs
+        else:
+            shade_ref, aux_ref, wlist_ref, wcnt_ref = tail_refs
         o, d, mint, maxt, feat, zero = _ray_features(rays_ref)
         _write_feat3(feat, f3_ref)
         inv = tuple(1.0 / jnp.where(jnp.abs(c) < 1e-20, 1e-20, c) for c in d)
-        n_nodes = (
-            nodes_ref.shape[0] if smem_nodes else nodes_ref.shape[0] * 2
-        )
+        n_nodes = nn_stride if smem_nodes else nodes_ref.shape[0] * 2
+
+        # pick the per-octant node ordering by majority octant of the
+        # block's live rays (ties break to the higher octant id). One
+        # vector->scalar sync per block; the octant-ordered near-first walk
+        # it buys prunes ~2-3x better than build order.
+        force_oct = _os.environ.get("KAZEN_TRACE_FORCE_OCT")
+        if smem_nodes and n_orders > 1 and force_oct is not None:
+            # debug: force a fixed ordering table (compile-time captured)
+            o_base = jnp.int32(int(force_oct) * nn_stride)
+        elif smem_nodes and n_orders > 1:
+            live = maxt >= 0.0
+            octv = (
+                jnp.where(d[0] > 0.0, 4.0, 0.0)
+                + jnp.where(d[1] > 0.0, 2.0, 0.0)
+                + jnp.where(d[2] > 0.0, 1.0, 0.0)
+            )
+            rowi = jax.lax.broadcasted_iota(
+                jnp.int32, (8, BLOCK), 0
+            ).astype(jnp.float32)
+            votes = jnp.where(
+                (rowi == octv[None, :]) & live[None, :], 1.0, 0.0
+            )
+            cnt = jnp.sum(votes, axis=1, keepdims=True)  # (8, 1)
+            octi = jax.lax.broadcasted_iota(
+                jnp.int32, (8, 1), 0
+            ).astype(jnp.float32)
+            o_sel = jnp.bitwise_and(
+                jnp.max(cnt * 8.0 + octi).astype(jnp.int32), 7
+            )
+            o_base = o_sel * jnp.int32(nn_stride)
+        else:
+            o_base = jnp.int32(0)
 
         def node_vals(cursor):
             if smem_nodes:
                 def nv(i):
-                    return ns_smem[cursor, i]
+                    return nsf(o_base + cursor, i)
 
                 return nv
             nrow = nodes_ref[jax.lax.shift_right_logical(cursor, 1), :]
@@ -590,24 +822,6 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
                 wbuf_ref.at[pl.ds(slot * W_ROWS, W_ROWS), :],
                 sem_ref.at[slot],
             )
-
-        def get_dma_s(i, slot):
-            cid = list_ref[i]
-            return pltpu.make_async_copy(
-                geo_sh_ref.at[cid],
-                sbuf_ref.at[pl.ds(slot * SH_ROWS, SH_ROWS), :],
-                sem_ref.at[2 + slot],
-            )
-
-        def start_dmas(i, slot):
-            get_dma_w(i, slot).start()
-            if not any_hit:
-                get_dma_s(i, slot).start()
-
-        def wait_dmas(i, slot):
-            get_dma_w(i, slot).wait()
-            if not any_hit:
-                get_dma_s(i, slot).wait()
 
         def collect_scalar(cursor, steps):
             """One-node-per-step walk (VMEM node table variant): each step
@@ -661,7 +875,7 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
                 jnp.int32(1),
                 jax.lax.broadcasted_iota(jnp.int32, (WINDOW, 1), 0),
             )
-            n_rows = ns_vmem.shape[0]
+            n_rows = nn_stride
 
             def ocond(s):
                 c, cnt, _ = s
@@ -670,7 +884,7 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
             def obody(s):
                 c, cnt, stp = s
                 w0 = jnp.minimum(c, jnp.int32(n_rows - WINDOW))
-                rows = ns_vmem[pl.ds(w0, WINDOW), :]  # (W, 16)
+                rows = ns_vmem[pl.ds(o_base + w0, WINDOW), :]  # (W, 16)
                 tx0 = (rows[:, 0:1] - o_b[0]) * inv_b[0]
                 tx1 = (rows[:, 3:4] - o_b[0]) * inv_b[0]
                 ty0 = (rows[:, 1:2] - o_b[1]) * inv_b[1]
@@ -710,17 +924,17 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
                     any_box = (
                         jax.lax.shift_right_logical(mask, c2 - w0) & 1
                     ) == 1
-                    is_leaf = ns_smem[c2, 7] > 0.0
+                    is_leaf = nsf(o_base + c2, 7) > 0.0
                     take = any_box & is_leaf
 
                     @pl.when(take)
                     def _():
-                        list_ref[cnt2] = ns_smem[c2, 8].astype(jnp.int32)
+                        list_ref[cnt2] = nsf(o_base + c2, 8).astype(jnp.int32)
 
                     nxt = jnp.where(
                         any_box & jnp.logical_not(is_leaf),
                         c2 + 1,
-                        ns_smem[c2, 6].astype(jnp.int32),
+                        nsf(o_base + c2, 6).astype(jnp.int32),
                     )
                     return nxt, cnt2 + take.astype(jnp.int32), stp2 + 1
 
@@ -736,27 +950,23 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
 
         def drain_loop(cnt, leaf_fn):
             """Double-buffered DMA over the collected leaf list: copy i+1
-            while testing i."""
+            while testing i (a round-batched MAXV-deep issue variant was
+            measured slower: 51.3 vs 45.7 ms on hero bounce rays)."""
 
             @pl.when(cnt > 0)
             def _():
-                start_dmas(0, 0)
+                get_dma_w(0, 0).start()
 
             def drain(i, z):
                 slot = jax.lax.rem(i, 2)
 
                 @pl.when(i + 1 < cnt)
                 def _():
-                    start_dmas(i + 1, jax.lax.rem(i + 1, 2))
+                    get_dma_w(i + 1, jax.lax.rem(i + 1, 2)).start()
 
-                wait_dmas(i, slot)
+                get_dma_w(i, slot).wait()
                 wblk = wbuf_ref[pl.ds(slot * W_ROWS, W_ROWS), :]
-                sblk = (
-                    None
-                    if any_hit
-                    else sbuf_ref[pl.ds(slot * SH_ROWS, SH_ROWS), :]
-                )
-                leaf_fn(wblk, sblk, list_ref[i])
+                leaf_fn(wblk, list_ref[i])
                 return z
 
             jax.lax.fori_loop(0, cnt, drain, jnp.int32(0))
@@ -766,7 +976,7 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
             aux_ref[0, :] = maxt
             aux_ref[1, :] = zero
 
-            def leaf_fn(wblk, sblk, cid):
+            def leaf_fn(wblk, cid):
                 ok, _, _ = _mt_signed(wblk, f3_ref[...], mint, maxt)
                 hit = jnp.any(ok, axis=0)
                 blocked = (aux_ref[1, :] > 0.0) | hit
@@ -794,15 +1004,19 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
                 out_ref[r, :] = zero
         else:
             # aux row 0: per-lane best t (doubles as the walk prune tmax);
-            # row 1: winner cluster id; shade_ref: winner attribute rows
+            # row 1: winner cluster id (-1 none); row 2: winner k in
+            # cluster; row 3: fetched flag (walk-end fetch). shade_ref is
+            # filled by _fetch_winners after the walk.
             aux_ref[0, :] = jnp.minimum(maxt, BIG)
-            aux_ref[1, :] = zero
+            aux_ref[1, :] = zero - 1.0
+            aux_ref[2, :] = zero
+            wcnt_ref[0] = jnp.int32(0)
             _init_shade(shade_ref)
 
-            def leaf_fn(wblk, sblk, cid):
+            def leaf_fn(wblk, cid):
                 _nearest_leaf(
-                    wblk, f3_ref[...], sblk, cid, mint, maxt, iota_k,
-                    aux_ref, shade_ref,
+                    wblk, f3_ref[...], cid, mint, maxt, aux_ref,
+                    wlist_ref, wcnt_ref,
                 )
 
             def outer_body(state):
@@ -815,12 +1029,17 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False):
                 lambda s: s[0] < n_nodes, outer_body,
                 (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
             )
+            _fetch_winners(
+                geo_sh_ref, sbuf_ref, sem_ref, wlist_ref, wcnt_ref,
+                iota_k, aux_ref, shade_ref,
+            )
             _write_nearest_out(
                 out_ref, shade_ref[:, :], aux_ref[1, :], o, d, zero
             )
             # free per-block diagnostics in the padding rows
             out_ref[34, :] = zero + vis.astype(jnp.float32)
             out_ref[35, :] = zero + stp.astype(jnp.float32)
+            out_ref[36, :] = zero + wcnt_ref[0].astype(jnp.float32)
 
     return kernel
 
@@ -847,7 +1066,7 @@ def _kernel_choice(tables: ClusterTables) -> str:
     env = os.environ.get("KAZEN_TRACE_KERNEL")
     if env in ("walk", "walk_smem"):
         return env
-    if tables.node_scalars.shape[0] <= SMEM_MAX_NODES:
+    if tables.node_scalars.shape[0] * tables.node_scalars.shape[1] <= SMEM_MAX_NODES:
         return "walk_smem"
     return "walk"
 
@@ -868,19 +1087,32 @@ def _run(
     if mode == "shim":
         return _run_shim(tables, rays_packed, any_hit)
     out_rows = 1 if any_hit else OUT_ROWS
-    kernel = _make_kernel(any_hit, smem_nodes=smem_nodes)
+    n_orders, nn_stride = tables.node_scalars.shape[:2]
+    kernel = _make_kernel(
+        any_hit, smem_nodes=smem_nodes,
+        nn_stride=nn_stride, n_orders=n_orders,
+    )
     if smem_nodes:
-        node_arg = tables.node_scalars
-        node_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+        node_args = (
+            tables.node_packed,
+            tables.node_scalars.reshape(-1, 16),
+        )
+        node_specs = [
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ]
         extra_scratch = [
-            pltpu.SMEM(tuple(tables.node_scalars.shape), jnp.float32),
-            pltpu.VMEM(tuple(tables.node_scalars.shape), jnp.float32),
+            pltpu.SMEM(tuple(tables.node_packed.shape), jnp.float32),
+            pltpu.VMEM((n_orders * nn_stride, 16), jnp.float32),
         ]
     else:
-        node_arg = tables.nodes
-        node_spec = pl.BlockSpec(
-            tables.nodes.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
-        )
+        node_args = (tables.nodes,)
+        node_specs = [
+            pl.BlockSpec(
+                tables.nodes.shape, lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
         extra_scratch = []
     if any_hit:
         geo_args = (tables.geo_w_occl,)
@@ -896,15 +1128,15 @@ def _run(
         ]
         buf_scratch = [
             pltpu.VMEM((2 * W_ROWS, W_COLS), jnp.bfloat16),  # W double buf
-            pltpu.VMEM((2 * SH_ROWS, K), jnp.float32),  # shade double buf
+            pltpu.VMEM((4 * SH_ROWS, K), jnp.float32),  # shade fetch slots
         ]
     out = pl.pallas_call(
         kernel,
         grid=(n // BLOCK,),
         in_specs=[
             pl.BlockSpec((8, BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            node_spec,
         ]
+        + node_specs
         + geo_specs,
         out_specs=pl.BlockSpec(
             (max(out_rows, 8), BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -913,16 +1145,24 @@ def _run(
         scratch_shapes=buf_scratch
         + [
             pltpu.VMEM((W_ROWS, BLOCK), jnp.bfloat16),  # f3 feature stack
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((MAXV + 5,)),
             pltpu.SMEM((MAXV,), jnp.int32),
         ]
         + extra_scratch
         + [
             pltpu.VMEM((SH_ROWS, BLOCK), jnp.float32),
             pltpu.VMEM((8, BLOCK), jnp.float32),
-        ],
+        ]
+        + (
+            []
+            if any_hit
+            else [
+                pltpu.SMEM((WIN_CAP,), jnp.int32),  # improving-cluster list
+                pltpu.SMEM((1,), jnp.int32),  # list count
+            ]
+        ),
         interpret=(mode == "interpret"),
-    )(rays_packed, node_arg, *geo_args)
+    )(rays_packed, *node_args, *geo_args)
     return out[:out_rows]
 
 

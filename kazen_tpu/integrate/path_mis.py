@@ -92,14 +92,23 @@ def _dmorton(d):
 
 
 def cluster_key(cluster, d):
-    """Bounce-trace sort key: hit-cluster id (major) | direction Morton.
+    """Bounce-trace sort key: direction octant (major) | hit-cluster id |
+    direction Morton (minor).
 
     The winner cluster id comes straight out of the previous trace
     (cluster_trace.py out row 33), so the key costs two shifts instead of
-    a 3D origin Morton; measured on the hero scene it also *beats* the
-    origin-Morton key (benchmarks/trace_stats2.py: 19.4 vs 35.9 union
-    visits per 1024-lane block on bounce rays)."""
-    return (cluster.astype(jnp.uint32) << 12) | _dmorton(d)
+    a 3D origin Morton; measured on the hero scene cluster-major *beats*
+    the origin-Morton key (benchmarks/trace_stats2.py: 19.4 vs 35.9 union
+    visits per 1024-lane block on bounce rays). Round 5 moved the octant
+    ABOVE the cluster id: the trace kernel picks its per-octant
+    near-first node ordering by block majority octant, and
+    direction-mixed blocks were the visit tail (corr(visits,
+    majority-fraction) = -0.47; p90 = 134 vs p50 = 30 visits/block)."""
+    md = _dmorton(d)  # top 3 bits are the octant (sign bits interleave)
+    oct_ = md >> 9
+    return (oct_ << 23) | (cluster.astype(jnp.uint32) << 9) | (
+        md & jnp.uint32(0x1FF)
+    )
 
 
 def shadow_key(cluster, pick, d):
@@ -505,10 +514,19 @@ def _bounce_ordered(scene, static, spec, st: _OState, draw_rr) -> _OState:
     n_path_rays = jnp.sum(alive.astype(jnp.float32))
 
     # ---- ONE permute into the next shared packet order ----
+    # picked light (major: shadow rays from one cluster to one light share
+    # a direction octant, so this keeps the any-hit walk coherent) |
+    # path-direction octant (the trace kernel picks its per-octant node
+    # ordering by block majority octant) | hit cluster | direction Morton
+    # (minor). Octant ABOVE cluster is round 5's change: direction-mixed
+    # blocks were the path-trace visit tail (corr(visits,
+    # majority-fraction) = -0.47; p90 = 134 vs p50 = 30 visits/block).
+    md = _dmorton(pd)
     key = (
-        (jnp.asarray(pick, jnp.uint32) << 26)
-        | (jnp.minimum(its.cluster, 16383).astype(jnp.uint32) << 12)
-        | _dmorton(pd)
+        (jnp.minimum(jnp.asarray(pick, jnp.uint32), 15) << 26)
+        | ((md >> 9) << 23)
+        | (jnp.minimum(its.cluster, 16383).astype(jnp.uint32) << 9)
+        | (md & jnp.uint32(0x1FF))
     )
     key = jnp.where(alive | (smaxt >= 0.0), key, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(key)

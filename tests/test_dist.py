@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 
 import scenes
+from _isolate import subprocess_isolated
 from kazen_tpu.scene.compiler import compile_scene
 from kazen_tpu.integrate.render import render
 from kazen_tpu.dist.sharding import (
@@ -56,6 +57,7 @@ def test_sample_sharded_matches_single():
         np.testing.assert_allclose(single, dist, atol=1e-5)
 
 
+@subprocess_isolated
 def test_sharded_inverse_step_grads_match():
     from jax.sharding import NamedSharding, PartitionSpec as P
     from kazen_tpu.integrate.render import sampler_spec

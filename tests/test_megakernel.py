@@ -17,6 +17,7 @@ from kazen_tpu.samplers import streams
 from kazen_tpu.scene import description as D
 from kazen_tpu.scene.compiler import compile_scene
 
+from _isolate import subprocess_isolated
 from scenes import cornell_box, make_mesh, sphere_mesh
 
 
@@ -48,6 +49,7 @@ def _assert_match(li_ref, li_mk, nr_ref, nr_mk):
     assert rel.max() < 1e-3, (rel.max(), np.argmax(rel.max(1)))
 
 
+@subprocess_isolated
 def test_megakernel_matches_wavefront_diffuse():
     li_ref, li_mk, nr_ref, nr_mk = _li_pair(cornell_box(width=24, height=24))
     assert li_ref.mean() > 0.01  # non-trivial image
@@ -55,6 +57,7 @@ def test_megakernel_matches_wavefront_diffuse():
 
 
 @pytest.mark.slow
+@subprocess_isolated
 def test_megakernel_matches_wavefront_mixed_materials():
     # kiss + mirror + ggx + dielectric panels exercise every dispatch branch
     extra = (
@@ -81,6 +84,7 @@ def test_megakernel_matches_wavefront_mixed_materials():
 
 
 @pytest.mark.slow
+@subprocess_isolated
 def test_megakernel_matches_wavefront_regularization_and_bg():
     sc = cornell_box(
         width=16, height=16, regularization=True,
@@ -93,6 +97,7 @@ def test_megakernel_matches_wavefront_regularization_and_bg():
     _assert_match(li_ref, li_mk, nr_ref, nr_mk)
 
 
+@subprocess_isolated
 def test_megakernel_later_sample_index():
     li_ref, li_mk, nr_ref, nr_mk = _li_pair(
         cornell_box(width=16, height=16), sample_index=3
@@ -101,6 +106,7 @@ def test_megakernel_later_sample_index():
 
 
 @pytest.mark.slow
+@subprocess_isolated
 def test_megakernel_stratified_sampler():
     li_ref, li_mk, nr_ref, nr_mk = _li_pair(
         cornell_box(width=16, height=16, spp=9, sampler="stratified"),
@@ -110,6 +116,7 @@ def test_megakernel_stratified_sampler():
 
 
 @pytest.mark.slow
+@subprocess_isolated
 def test_megakernel_correlated_sampler():
     li_ref, li_mk, nr_ref, nr_mk = _li_pair(
         cornell_box(width=16, height=16, spp=8, sampler="correlated"),
@@ -119,6 +126,7 @@ def test_megakernel_correlated_sampler():
 
 
 @pytest.mark.slow
+@subprocess_isolated
 def test_megakernel_pallas_interpreter_canary():
     """One config through the real Pallas interpreter (masked-op emulation,
     BlockSpec plumbing); everything else uses the fast _ShimRef path."""

@@ -1,5 +1,6 @@
 """Golden parity: wavefront renderer vs the scalar oracle transliteration of
 the reference pipeline, same sampler/spp/seed (BASELINE 'image allclose')."""
+from _isolate import subprocess_isolated
 import numpy as np
 import pytest
 
@@ -27,12 +28,14 @@ def _compare(scene, spp, atol=2e-3, max_bad_frac=0.002):
 
 
 @pytest.mark.slow
+@subprocess_isolated
 def test_cornell_parity_independent():
     scene = scenes.cornell_box(width=16, height=16, spp=2, max_depth=4)
     _compare(scene, spp=2)
 
 
 @pytest.mark.slow
+@subprocess_isolated
 def test_direct_light_parity():
     """Single bounce: floor + visible light, depth=2."""
     import kazen_tpu.scene.description as D
@@ -48,6 +51,7 @@ def test_direct_light_parity():
 
 
 @pytest.mark.slow
+@subprocess_isolated
 def test_kiss_cornell_parity():
     """Golden parity with the kiss BSDF on every wall (flagship material)."""
     import kazen_tpu.scene.description as D
@@ -66,6 +70,7 @@ def test_kiss_cornell_parity():
 
 
 @pytest.mark.slow
+@subprocess_isolated
 def test_stratified_cornell_parity():
     scene = scenes.cornell_box(
         width=12, height=12, spp=4, max_depth=3, sampler="stratified"

@@ -10,6 +10,7 @@ real XML at reduced resolution through
       itself in the tpu-marked subprocess test)
 and assert pairwise bad-pixel rates, test_parity._compare style.
 """
+from _isolate import subprocess_isolated
 import os
 import subprocess
 import sys
@@ -44,6 +45,7 @@ def _bad_frac(a, b, atol):
     return (rel > atol).mean(), rel.max()
 
 
+@subprocess_isolated
 def test_hero_wavefront_vs_cluster_trace_shim():
     """(b) vs (c) at 96x54/2spp: the whole round-3/4 perf machinery
     (split-bf16 MT tests, ordered wavefront, shared-order traces) against
@@ -65,6 +67,7 @@ def test_hero_wavefront_vs_cluster_trace_shim():
 
 
 @pytest.mark.slow
+@subprocess_isolated
 def test_hero_oracle_parity():
     """(a) vs (b) at 16x9/2spp: the scalar reference transliteration
     against the wavefront on the real content, equal (sampler, spp,

@@ -68,8 +68,14 @@ def bench_scene(arrays, static, n_timed=3, chunk=None):
     px_all = xs.reshape(-1).astype(np.uint32)
     py_all = ys.reshape(-1).astype(np.uint32)
     n = px_all.shape[0]
+    use_mk = bool(getattr(static, "use_megakernel", False))
     if chunk is None:
-        chunk = int(os.environ.get("BENCH_CHUNK", 518400))
+        # The 518k-lane chunking works around the XLA lane-permute cliff
+        # (benchmarks/xla_lab.py). The megakernel path does no lane
+        # permutes, so the workaround does not apply: run it whole-grid
+        # (VERDICT r4 #3 -- the chunked toy measured 2.2x slower than its
+        # r02 whole-grid figure purely from chunking overhead).
+        chunk = n if use_mk else int(os.environ.get("BENCH_CHUNK", 518400))
     # row-band chunks (scatter-free band splat, one compile for all
     # chunks); fall back to the whole-grid pass when chunking not needed
     if n % chunk == 0 and n > chunk and chunk % w == 0:
@@ -78,11 +84,41 @@ def bench_scene(arrays, static, n_timed=3, chunk=None):
         py_c = [jnp.asarray(py_all[s : s + chunk]) for s in starts]
         row0s = [s // w for s in starts]
         grid = False
+        band_rows = chunk // w
     else:
         px_c = [jnp.asarray(px_all)]
         py_c = [jnp.asarray(py_all)]
         row0s = [0]
         grid = True
+        band_rows = h
+
+    # 32x32-tile pixel order: one trace BLOCK = one image tile, so the
+    # primary trace's packet walk is spatially coherent (5.2 vs 25.4
+    # visits/block measured against row-major lane strips). The pass runs
+    # in tile order; li/jitter are un-permuted by the static inverse
+    # before the row-major band splat. Images are bit-identical: streams
+    # are keyed by (px, py), and the splat sees the same per-pixel values.
+    def _tile_perm(rows, width, tile=32):
+        yy, xx = np.meshgrid(
+            np.arange(rows), np.arange(width), indexing="ij"
+        )
+        ntx = (width + tile - 1) // tile
+        key = (
+            ((yy // tile) * ntx + (xx // tile)) * (tile * tile)
+            + (yy % tile) * tile
+            + (xx % tile)
+        )
+        perm = np.argsort(key.reshape(-1), kind="stable")
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        return perm, inv
+
+    tile_order = not use_mk  # megakernel has no packet walk to help
+    if tile_order:
+        t_perm, t_inv = _tile_perm(band_rows, w)
+        px_c = [p[jnp.asarray(t_perm)] for p in px_c]
+        py_c = [p[jnp.asarray(t_perm)] for p in py_c]
+        t_inv = jnp.asarray(t_inv)
 
     def one_pass(scene, film, px, py, sample_index, jump):
         stream = streams.init_stream_jump(spec, px, py, sample_index, jump)
@@ -91,6 +127,9 @@ def bench_scene(arrays, static, n_timed=3, chunk=None):
         stream, aperture = streams.next_2d(spec, stream)
         rays = camera_mod.sample_ray(scene, static, pixel_sample, aperture)
         _, li, nrays = li_fn_for(static)(scene, static, spec, stream, rays)
+        if tile_order:
+            li = li[t_inv]
+            jitter = jitter[t_inv]
         if grid:
             return film_mod.splat_grid(static, film, jitter, li), nrays
         return film_mod.splat_grid_band(static, jitter, li), nrays

@@ -75,7 +75,7 @@ from jax.experimental.pallas import tpu as pltpu
 import os as _os
 
 BLOCK = 1024
-K = 128  # triangles per cluster (BVH leaf size)
+K = int(_os.environ.get("KAZEN_TRACE_K", "128"))  # triangles per cluster (BVH leaf size)
 # Nodes slab-tested per vector batch in the windowed walk. Must stay <= 32:
 # the per-window any-lane-hit bits pack into ONE int32 bitmask (bit 31 is
 # fine -- logical shifts -- but bit 32+ silently vanishes and drops whole

@@ -1267,11 +1267,17 @@ def _make_kernel(cfg):
                 f_nee, pdf_b = _bsdf_eval_pdf(btypes, mp, wi, wo_nee, accum)
                 w_light = _power_heuristic(nee_pdf, pdf_b)
                 add = alive & jnp.logical_not(occ)
+                cch = [
+                    tpt[i] * ls[i] * float(L) * f_nee[i] * w_light
+                    for i in range(3)
+                ]
                 for i in range(3):
-                    li[i] = li[i] + jnp.where(
-                        add, tpt[i] * ls[i] * float(L) * f_nee[i] * w_light, 0.0
-                    )
-                nrays = nrays + jnp.where(alive, 1.0, 0.0)
+                    li[i] = li[i] + jnp.where(add, cch[i], 0.0)
+                # count only shadow rays whose NEE contribution could be
+                # nonzero (the wavefront skips the others' occlusion
+                # entirely; keep the useful-ray metric identical)
+                has_c = (cch[0] != 0.0) | (cch[1] != 0.0) | (cch[2] != 0.0)
+                nrays = nrays + jnp.where(alive & has_c, 1.0, 0.0)
 
             # (4) regularization (integrator.cpp:297-301)
             if cfg["regularization"]:

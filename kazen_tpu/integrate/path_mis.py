@@ -487,8 +487,14 @@ def _bounce_ordered(scene, static, spec, st: _OState, draw_rr) -> _OState:
             throughput * ls_val * f * w_light[:, None],
             0.0,
         )
-        smaxt = jnp.where(alive, nee_maxt, -1.0)
-        n_shadow_rays = jnp.sum(alive.astype(jnp.float32))
+        # a lane whose NEE contribution is already zero (light behind the
+        # surface, zero BSDF toward the light, zero MIS weight) does not
+        # need its occlusion answered: mark the shadow ray dead so its
+        # blocks exit the any-hit walk on the first test. Exact-output
+        # preserving; stream consumption unchanged.
+        has_contrib = jnp.any(contrib != 0.0, axis=-1)
+        smaxt = jnp.where(alive & has_contrib, nee_maxt, -1.0)
+        n_shadow_rays = jnp.sum((alive & has_contrib).astype(jnp.float32))
     else:
         pick = jnp.zeros(n, jnp.int32)
         nee_wi = st.ray_d

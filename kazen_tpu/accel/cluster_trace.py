@@ -952,6 +952,14 @@ def _make_kernel(any_hit: bool, smem_nodes: bool = False,
             """Double-buffered DMA over the collected leaf list: copy i+1
             while testing i (a round-batched MAXV-deep issue variant was
             measured slower: 51.3 vs 45.7 ms on hero bounce rays)."""
+            if _os.environ.get("KAZEN_TRACE_ABLATE") == "nodma":
+                # attribution: walk + test on stale buffers, no DMA at all
+                def drain_nodma(i, z):
+                    leaf_fn(wbuf_ref[pl.ds(0, W_ROWS), :], list_ref[i])
+                    return z
+
+                jax.lax.fori_loop(0, cnt, drain_nodma, jnp.int32(0))
+                return
 
             @pl.when(cnt > 0)
             def _():

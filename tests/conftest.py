@@ -39,14 +39,32 @@ jax.config.update("jax_platforms", "cpu")
 # the CPU test cache by a host CPU fingerprint to keep hosts separate.
 import hashlib
 
+# Round-5 finding: keying by /proc/cpuinfo flags alone is NOT enough --
+# the bench driver's machine has an identical flags line but compiles
+# XLA:CPU AOT results with different feature preferences
+# (+prefer-no-scatter/+prefer-no-gather); loading its entries here
+# produced SILENTLY WRONG renders (a 6x-darker image, found via
+# test_occlusion_bound), not just the documented aborts. Key the cache by
+# machine identity + jaxlib version as well.
+_key = ""
+for _f in ("/proc/cpuinfo", "/etc/machine-id"):
+    try:
+        with open(_f) as f:
+            _key += next(
+                (l for l in f if l.startswith("flags")), f.read()
+            )
+    except OSError:
+        _key += "absent"
 try:
-    with open("/proc/cpuinfo") as f:
-        _flags = next(
-            (l for l in f if l.startswith("flags")), ""
-        )
-    _fp = hashlib.sha1(_flags.encode()).hexdigest()[:12]
-except OSError:
-    _fp = "nohost"
+    import jaxlib
+
+    _key += getattr(jaxlib, "__version__", "")
+except Exception:
+    pass
+import os as _os2
+
+_key += _os2.uname().nodename
+_fp = hashlib.sha1(_key.encode()).hexdigest()[:12]
 _cache_dir = os.path.join(
     os.path.dirname(__file__), "..", ".jax_cache", f"cpu-{_fp}"
 )

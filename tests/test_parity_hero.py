@@ -127,3 +127,43 @@ print("TPU_HERO_OK", float(img_tpu.mean()), float(bad))
         pytest.skip("no TPU backend reachable")
     assert res.returncode == 0, out[-3000:]
     assert "TPU_HERO_OK" in out
+
+
+WARMSTUDIO_XML = "/root/reference/scene/2022_q1/WarmStudio/WarmStudio.xml"
+
+
+@subprocess_isolated
+def test_warmstudio_end_to_end_parity():
+    """The reference's other showcase scene (WarmStudio.xml:1-56): three
+    OBJ meshes (hand-rolled OBJ loader path), kiss + diffuse, an area
+    light ARRAY mesh, mitchell filter -- the multi-mesh/OBJ/mitchell
+    combination the parameter sweeps never exercise (VERDICT r4 #7).
+    Renders the real XML at reduced resolution through the XLA wavefront
+    (BVH walk) and the cluster-trace path (shim on CPU) and asserts the
+    images match."""
+    from kazen_tpu.scene import xml_io
+    from kazen_tpu.scene.compiler import compile_scene
+    from kazen_tpu.integrate.render import render
+
+    imgs = {}
+    for pallas in (False, True):
+        desc = xml_io.load_xml(WARMSTUDIO_XML)
+        desc.camera.width = 96
+        desc.camera.height = 54
+        assert desc.rfilter.kind == "mitchell"
+        os.environ["KAZEN_PALLAS_TRACE"] = "1" if pallas else "0"
+        try:
+            arrays, static = compile_scene(desc)
+        finally:
+            del os.environ["KAZEN_PALLAS_TRACE"]
+        assert (arrays.trace_tables is not None) == pallas
+        if not pallas:
+            assert arrays.F.shape[0] > 100  # real OBJ geometry loaded
+        imgs[pallas] = np.asarray(render(arrays, static, spp=2))
+    assert np.isfinite(imgs[True]).all()
+    assert imgs[True].mean() > 0.01  # light array illuminates the set
+    bad, worst = _bad_frac(imgs[True], imgs[False], atol=2e-3)
+    assert bad <= 0.002, f"{bad:.4%} pixels differ (max rel {worst:.3g})"
+    np.testing.assert_allclose(
+        imgs[True].mean(), imgs[False].mean(), rtol=1e-3
+    )

@@ -610,41 +610,45 @@ class MegaTables(NamedTuple):
     consts: jnp.ndarray  # (1, 8): bg rgb premultiplied
 
 
-def supported(arrays, static) -> bool:
-    """Host-side fast-path class check (feature set only; the VMEM budget
-    is enforced by pack_tables, which returns None when the packed tables
-    would not fit)."""
+def supported_reason(arrays, static):
+    """(ok, reason) fast-path class check (feature set only; the VMEM
+    budget is enforced by pack_tables, which returns None when the packed
+    tables would not fit)."""
     if static.integrator_kind != "path_mis":
-        return False
+        return False, "integrator is not path_mis"
     if static.sampler_kind not in ("independent", "stratified", "correlated"):
-        return False
+        return False, f"sampler {static.sampler_kind} unsupported"
     if getattr(static, "env_importance", False):
-        return False
+        return False, "env importance sampling enabled"
     if static.has_image_textures or static.has_composite_textures:
-        return False
+        return False, "image/composite textures present"
     if any(t not in _SUPPORTED_BTYPES for t in static.btypes_present):
-        return False
+        return False, "BSDF type outside the supported set"
     nf = int(arrays.F.shape[0])
     if nf > MAX_BRUTE:
         # BVH-size scenes go to the wavefront + cluster-trace kernels
         # (accel/cluster_trace.py); the megakernel's in-kernel walk was
         # default-dead and has been removed (round-3 architecture
         # consolidation)
-        return False
+        return False, f"{nf} faces > brute-force class ({MAX_BRUTE})"
     if static.num_materials > MAX_MATERIALS:
-        return False
+        return False, f"{static.num_materials} materials > {MAX_MATERIALS}"
     if static.num_lights > 0:
         lf = int(arrays.light_faces.shape[0]) * int(arrays.light_faces.shape[1])
         if lf > MAX_LIGHT_TRIS:
-            return False
+            return False, f"{lf} light tris > {MAX_LIGHT_TRIS}"
     if static.has_background and int(arrays.bg_tex) >= 0:
-        return False
+        return False, "image background texture"
     # all textures constant?
     mt = arrays.materials
     for tex in (mt.tex_base, mt.tex_metallic, mt.tex_roughness, mt.tex_normal):
         if bool(np.any(np.asarray(tex) >= 0)):
-            return False
-    return True
+            return False, "textured material parameter"
+    return True, "supported"
+
+
+def supported(arrays, static) -> bool:
+    return supported_reason(arrays, static)[0]
 
 
 def _pack_slots(slots: np.ndarray) -> np.ndarray:

@@ -323,6 +323,17 @@ def _trace_rows(scene, rays: Rays, key=None, do_sort=None):
     return _rows_from_hit(scene, rays, intersect(scene, rays))
 
 
+def _ordering_useful(scene):
+    """Static: is the per-bounce coherence permute worth anything?
+    False for single-cluster trace tables (every block visits the one
+    cluster regardless) and for the brute-force backend (dense
+    all-triangles test, order-independent)."""
+    tt = getattr(scene, "trace_tables", None)
+    if tt is not None:
+        return tt.geo_w.shape[0] > 1
+    return getattr(scene, "bvh", None) is not None
+
+
 class _OState(NamedTuple):
     """Ordered-wavefront scan carry: everything lives in the order of the
     LAST path trace (sigma_k); one per-bounce permute moves the whole
@@ -518,6 +529,42 @@ def _bounce_ordered(scene, static, spec, st: _OState, draw_rr) -> _OState:
     alive = alive & jnp.any(res.weight > 0.0, axis=-1)
     pd = its.sh_frame.to_world(res.wo)
     n_path_rays = jnp.sum(alive.astype(jnp.float32))
+
+    if not _ordering_useful(scene):
+        # Tiny scenes (single-cluster kernel, or the order-independent
+        # brute-force backend) gain nothing from packet coherence; the
+        # per-bounce argsort + 33-row permute was a pure 14.5x overhead
+        # cliff on a 12-tri image-textured scene
+        # (benchmarks/megakernel_cliff.py). Identical output: the permute
+        # only reorders lanes.
+        if n_strat > 0:
+            occluded = _occluded_with_stepthrough(
+                scene, static, its.p, nee_wi, static.trace_bias, smaxt,
+                smaxt >= 0.0, do_sort=False,
+            )
+            li = li + jnp.where(occluded[:, None], 0.0, contrib)
+        rays = Rays(
+            o=its.p,
+            d=pd,
+            mint=jnp.full(n, static.trace_bias, jnp.float32),
+            maxt=jnp.where(alive, INF, -1.0),
+        )
+        rows = _trace_rows(scene, rays, do_sort=False)
+        return _OState(
+            stream=stream,
+            ray_o=its.p,
+            ray_d=pd,
+            rows=rows,
+            li=li,
+            throughput=throughput,
+            eta=eta,
+            bsdf_pdf=res.pdf,
+            discrete=res.is_discrete,
+            accum_rough=accum,
+            alive=alive,
+            lane=st.lane,
+            rays=st.rays + n_shadow_rays + n_path_rays,
+        )
 
     # ---- ONE permute into the next shared packet order ----
     # picked light (major: shadow rays from one cluster to one light share

@@ -806,8 +806,10 @@ def compile_scene(
     # None otherwise); turn it on by default only on TPU backends
     # (KAZEN_MEGAKERNEL=0/1 overrides).
     from ..integrate import megakernel as mk
+    from ..utils.metrics import LOG
 
-    if mk.supported(arrays, static):
+    mk_ok, mk_reason = mk.supported_reason(arrays, static)
+    if mk_ok:
         mega = mk.pack_tables(arrays, static)
         if mega is not None:
             import os
@@ -817,10 +819,10 @@ def compile_scene(
                 enable = env not in ("0", "false", "")
             else:
                 # default: megakernel only for brute-force-size scenes
-                # (its unrolled trace hits 248M rays/s there); BVH scenes
-                # go to the wavefront + Pallas packet trace, whose
-                # coherence-ordered walk is ~50-100x faster than the
-                # megakernel's in-loop shared-cursor walk on big meshes
+                # (its whole-pass fusion wins there: BENCH_r05 toy at
+                # ~168M rays/s whole-grid); BVH scenes go to the
+                # wavefront + Pallas packet trace, whose coherence-
+                # ordered walk is far faster on big meshes
                 enable = (
                     jax.default_backend() not in ("cpu",)
                     and len(F) <= mk.MAX_BRUTE
@@ -831,6 +833,22 @@ def compile_scene(
                 use_megakernel=enable,
                 mega_cfg=mk.cfg_key(arrays, static),
             )
+        else:
+            LOG(
+                "megakernel fast path declined: packed tables exceed the "
+                "VMEM budget; using the wavefront + cluster trace"
+            )
+    elif (
+        static.integrator_kind == "path_mis"
+        and len(F) <= mk.MAX_BRUTE
+    ):
+        # a small scene that would otherwise ride the fused fast path:
+        # make the fallback visible instead of a silent ~2x cliff
+        # (benchmarks/megakernel_cliff measurement, VERDICT r4 #8)
+        LOG(
+            f"megakernel fast path declined ({mk_reason}); using the "
+            "wavefront + cluster trace"
+        )
     return arrays, static
 
 

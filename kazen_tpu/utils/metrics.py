@@ -97,6 +97,13 @@ def profiler_trace(log_dir: Optional[str]):
         jax.profiler.stop_trace()
 
 
+def LOG(msg: str, stream=sys.stderr):
+    """Timestamped log line (reference LOG(), common.h:451-454)."""
+    stream.write(
+        f"[kazen-tpu {time.strftime('%H:%M:%S')}] {msg}\n"
+    )
+
+
 @contextlib.contextmanager
 def timed(label: str, stream=sys.stderr):
     """Timer (timer.h) + LOG-style line."""

@@ -24,6 +24,8 @@ import os
 
 import numpy as np
 
+from _isolate import subprocess_isolated
+
 from kazen_tpu.scene import description as D
 from kazen_tpu.scene.compiler import compile_scene
 from kazen_tpu.integrate.render import render
@@ -86,6 +88,7 @@ def _render(desc, tables: bool, spp=16):
     return np.asarray(render(arrays, static, spp=spp))
 
 
+@subprocess_isolated
 def test_occluder_beyond_bias_agrees():
     """eps = 4*bias: both semantics find the occluder -> identical images.
     (The reference recast skips occluders up to eps = 2*bias: it restarts
@@ -97,6 +100,7 @@ def test_occluder_beyond_bias_agrees():
     np.testing.assert_allclose(img_kernel_sem, img_ref_sem, atol=2e-5)
 
 
+@subprocess_isolated
 def test_occluder_within_bias_deviation_bounded():
     """eps = bias/2: the constructed deviation appears, is strictly
     bounded by the main light's unoccluded direct contribution, and is
@@ -124,6 +128,7 @@ def test_occluder_within_bias_deviation_bounded():
     print(f"measured adversarial deviation: mean rel {rel:.4f}")
 
 
+@subprocess_isolated
 def test_no_adversarial_geometry_no_deviation():
     """Without the occluder the two backends agree exactly (the invisible
     light itself never blocks in either semantics)."""

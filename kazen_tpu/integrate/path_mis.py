@@ -356,6 +356,67 @@ class _OState(NamedTuple):
     rays: jnp.ndarray  # () f32: useful rays traced
 
 
+_MAX_ANISO = 16.0  # footprint elongation cap (OIIO default aniso limit)
+
+
+def _texture_footprint(static, its: Interaction, ray_d):
+    """EWA-style two-axis texture footprint (VERDICT r4 #6; the reference
+    gets this from OIIO's default anisotropic filtering,
+    texture.cpp:46-64).
+
+    The pixel cone hits the surface as an ellipse: minor (cross-view)
+    diameter = |t| * pixel_cone, major axis elongated by 1/cos(theta)
+    along the view direction's tangential projection (capped at
+    _MAX_ANISO). Both axes are pulled back to uv space through the
+    [dpdu dpdv] Jacobian (2x2 Gram solve); the mip level comes from the
+    MINOR uv extent while the texture lookup averages probes along the
+    major uv half-axis (textures._eval_leaf). Degenerate footprints
+    (normal-parallel view, singular Jacobian) fall back to the round-4
+    conservative isotropic extent (min |dpdu|,|dpdv| denominator).
+
+    Returns (lod_minor, (maj_du, maj_dv)) or (None, None) when mip
+    filtering is off."""
+    if not getattr(static, "mip_textures", False):
+        return None, None
+    foot = jnp.abs(its.t) * static.pixel_cone
+    if not getattr(static, "aniso_textures", True):
+        dp_len = jnp.maximum(
+            jnp.minimum(km.norm(its.dpdu), km.norm(its.dpdv)), 1e-6
+        )
+        return jnp.log2(jnp.maximum(foot / dp_len, 1e-9)), None
+    nrm = its.sh_frame.n
+    dn = jnp.sum(ray_d * nrm, axis=-1)
+    cosv = jnp.clip(jnp.abs(dn), 1.0 / _MAX_ANISO, 1.0)
+    tang = ray_d - dn[..., None] * nrm
+    tl = km.norm(tang)
+    m_dir = tang / jnp.maximum(tl, 1e-9)[..., None]
+    mi_dir = jnp.cross(nrm, m_dir)
+    E = jnp.sum(its.dpdu * its.dpdu, axis=-1)
+    Fg = jnp.sum(its.dpdu * its.dpdv, axis=-1)
+    G = jnp.sum(its.dpdv * its.dpdv, axis=-1)
+    det = E * G - Fg * Fg
+    ok = (det > 1e-16) & (tl > 1e-5)
+    det_s = jnp.where(ok, det, 1.0)
+
+    def uv_vec(wvec):
+        b1 = jnp.sum(wvec * its.dpdu, axis=-1)
+        b2 = jnp.sum(wvec * its.dpdv, axis=-1)
+        return (G * b1 - Fg * b2) / det_s, (E * b2 - Fg * b1) / det_s
+
+    half = 0.5 * foot
+    mdu, mdv = uv_vec(m_dir * (half / cosv)[..., None])
+    idu, idv = uv_vec(mi_dir * half[..., None])
+    minor_len = 2.0 * jnp.sqrt(idu * idu + idv * idv)
+    iso_len = foot / jnp.maximum(
+        jnp.minimum(km.norm(its.dpdu), km.norm(its.dpdv)), 1e-6
+    )
+    lod = jnp.log2(
+        jnp.maximum(jnp.where(ok, minor_len, iso_len), 1e-9)
+    )
+    aniso = (jnp.where(ok, mdu, 0.0), jnp.where(ok, mdv, 0.0))
+    return lod, aniso
+
+
 def _light_eval_at_hit(scene, its: Interaction, ray_o):
     """Light::eval with lRec(ref=ray.o, p=its.p, n=its.shFrame.n)."""
     wi = km.normalize(its.p - ray_o)
@@ -418,16 +479,11 @@ def _bounce_ordered(scene, static, spec, st: _OState, draw_rr) -> _OState:
     accum = st.accum_rough
 
     wi_local = its.sh_frame.to_local(-st.ray_d)
-    lod = None
-    if getattr(static, "mip_textures", False):
-        foot_world = jnp.abs(its.t) * static.pixel_cone
-        dp_len = jnp.maximum(
-            jnp.minimum(km.norm(its.dpdu), km.norm(its.dpdv)), 1e-6
-        )
-        lod = jnp.log2(jnp.maximum(foot_world / dp_len, 1e-9))
+    lod, aniso = _texture_footprint(static, its, st.ray_d)
     ctx = bsdf_mod.make_ctx(
         scene=scene, static=static, mat_id=its.material, uv=its.uv,
         sh_frame=its.sh_frame, dpdu=its.dpdu, wi=wi_local, lod=lod,
+        aniso=aniso,
     )
 
     # (1) emitter hit terminates the lane (integrator.cpp:226-231); the

@@ -183,6 +183,7 @@ class SceneStatic:
     # Scene.mip_textures); pixel_cone = screen-space footprint angle used
     # to pick the mip level from hit distance + dpdu
     mip_textures: bool = False
+    aniso_textures: bool = True
     pixel_cone: float = 0.0
     # Pallas megakernel fast path (integrate/megakernel.py): enabled at
     # scene-compile time when the scene is in the supported class AND the
@@ -796,6 +797,7 @@ def compile_scene(
         env_importance=env_importance,
         env_res=env_res,
         mip_textures=bool(scene.mip_textures),
+        aniso_textures=bool(getattr(scene, "aniso_textures", True)),
         pixel_cone=float(
             2.0 * np.tan(np.deg2rad(cam.fov) / 2.0) / cam.height
         ),

@@ -324,6 +324,10 @@ class Scene:
     # (the reference always filters). Set False for level-0 bilinear, the
     # scalar-oracle parity mode.
     mip_textures: bool = True
+    # EWA-style anisotropic minification (probes along the footprint's
+    # major axis at the minor-axis mip level); False = round-4 isotropic
+    # conservative footprint (min |dpdu|,|dpdv| -> over-blurs grazing)
+    aniso_textures: bool = True
 
 
 def lookat(origin, target, up) -> np.ndarray:

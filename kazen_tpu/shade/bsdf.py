@@ -742,11 +742,18 @@ class ShadeCtx(NamedTuple):
     pframe: km.Frame
 
 
-def make_ctx(static, scene, mat_id, uv, sh_frame, dpdu, wi, lod=None) -> ShadeCtx:
+def make_ctx(
+    static, scene, mat_id, uv, sh_frame, dpdu, wi, lod=None, aniso=None
+) -> ShadeCtx:
     if lod is not None and getattr(static, "mip_textures", False):
-        # thread the mip footprint through every texture fetch as a third
-        # uv column (see textures.eval_texture)
-        uv = jnp.concatenate([uv, lod[..., None]], axis=-1)
+        # thread the mip footprint through every texture fetch as extra
+        # uv columns: [u, v, lod, maj_du, maj_dv] (see
+        # textures.eval_texture; the last two are the anisotropic major
+        # uv half-axis, zero = isotropic)
+        cols = [uv, lod[..., None]]
+        if aniso is not None:
+            cols += [aniso[0][..., None], aniso[1][..., None]]
+        uv = jnp.concatenate(cols, axis=-1)
     mp, mp_eff, perturbed, pframe, wi_eff, _ = _resolve_normalmap(
         static, scene, scene.materials, mat_id, uv, sh_frame, dpdu, wi
     )

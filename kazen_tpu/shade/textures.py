@@ -60,16 +60,25 @@ def _bilinear_level(pool, tid, u, v, level):
     )
 
 
-def _eval_leaf(pool, tid, uv, lod=None):
+N_ANISO_PROBES = 4  # texture probes along the footprint's major axis
+
+
+def _eval_leaf(pool, tid, uv, lod=None, aniso=None):
     """Image bilinear (trilinear across the mip chain when ``lod`` is
     given) or constant; composite -> 0. ``lod`` is log2 of the uv-space
-    footprint; the per-texture texel level adds log2(resolution*scale)."""
+    footprint; the per-texture texel level adds log2(resolution*scale).
+    With ``aniso`` (the major uv half-axis from
+    path_mis._texture_footprint), the lookup averages N_ANISO_PROBES
+    trilinear probes spread along the major axis at the minor-axis mip
+    level -- EWA-style anisotropic minification (the reference gets this
+    from OIIO, texture.cpp:46-64). A zero half-axis degenerates to one
+    probe position, i.e. plain trilinear."""
     from ..scene.compiler import TEX_CONSTANT, TEX_IMAGE
 
     scale = pool.uv_scale[tid]
-    u = uv[..., 0] * scale
-    v = (1.0 - uv[..., 1]) * scale
     if lod is None:
+        u = uv[..., 0] * scale
+        v = (1.0 - uv[..., 1]) * scale
         w = pool.width[tid].astype(jnp.float32)
         h = pool.height[tid].astype(jnp.float32)
         img = _bilinear(pool, tid, u * w, v * h)
@@ -86,9 +95,23 @@ def _eval_leaf(pool, tid, uv, lod=None):
         l0 = jnp.floor(lam).astype(jnp.int32)
         l1 = jnp.minimum(l0 + 1, pool.n_levels[tid] - 1)
         f = (lam - l0.astype(jnp.float32))[..., None]
-        img = (1.0 - f) * _bilinear_level(pool, tid, u, v, l0) + (
-            f * _bilinear_level(pool, tid, u, v, l1)
-        )
+
+        def trilinear(uv2):
+            u = uv2[..., 0] * scale
+            v = (1.0 - uv2[..., 1]) * scale
+            return (1.0 - f) * _bilinear_level(pool, tid, u, v, l0) + (
+                f * _bilinear_level(pool, tid, u, v, l1)
+            )
+
+        if aniso is None:
+            img = trilinear(uv)
+        else:
+            np_ = N_ANISO_PROBES
+            img = 0.0
+            for i in range(np_):
+                t = 2.0 * i / (np_ - 1) - 1.0  # [-1, 1]
+                img = img + trilinear(uv + t * aniso)
+            img = img / np_
     tt = pool.ttype[tid]
     val = jnp.where((tt == TEX_IMAGE)[..., None], img, 0.0)
     return jnp.where(
@@ -140,23 +163,30 @@ def eval_texture(static, pool, tex_id, uv, const_color, lod=None):
     up-to-two composite levels where tex_id >= 0, else the per-lane
     constant color. ``lod``: per-lane log2 uv-footprint for mip selection
     (None = exact level-0 bilinear, the oracle-parity mode). A (N, 3) uv
-    carries the lod in its third column -- the convention ShadeCtx uses to
-    thread the footprint through the BSDF fetch sites unchanged."""
-    if uv.shape[-1] == 3:
+    carries the lod in its third column; a (N, 5) uv additionally carries
+    the EWA-style anisotropic major uv half-axis in columns 3:5 -- the
+    convention ShadeCtx uses to thread the footprint through the BSDF
+    fetch sites unchanged."""
+    aniso = None
+    if uv.shape[-1] >= 3:
         if lod is None:
             lod = uv[..., 2]
+        if uv.shape[-1] >= 5:
+            aniso = uv[..., 3:5]
         uv = uv[..., :2]
     if not getattr(static, "mip_textures", False):
         lod = None
+        aniso = None
     tid = jnp.maximum(tex_id, 0)
     if not static.has_composite_textures and not static.has_image_textures:
         # only constant nodes exist: composite/image paths compile away
         val = pool.const_color[tid]
     elif not static.has_composite_textures:
-        val = _eval_leaf(pool, tid, uv, lod)
+        val = _eval_leaf(pool, tid, uv, lod, aniso)
     else:
         level1 = lambda nid: _combine(
-            pool, nid, uv, lambda cid: _eval_leaf(pool, cid, uv, lod)
+            pool, nid, uv,
+            lambda cid: _eval_leaf(pool, cid, uv, lod, aniso),
         )
         val = _combine(pool, tid, uv, level1)
     return jnp.where((tex_id >= 0)[..., None], val, const_color)

@@ -37,10 +37,19 @@ walk. Four ideas:
 4. **In-kernel winner attributes.** The per-lane nearest hit's full
    shading row (3 vertices, 3 vertex normals, 3 uvs, face/light/material
    meta) is fetched inside the kernel with a one-hot matmul against the
-   cluster's f32 attribute rows, so the post-trace XLA shading prep needs
-   *no gathers at all*. The winner's *cluster id* is also returned (out
-   row 33): it is the next bounce's packet-coherence sort key
-   (integrate/path_mis.py), replacing per-trace Morton key construction.
+   cluster's f32 attribute rows -- since round 5 ONCE PER IMPROVING
+   CLUSTER AT WALK END (_fetch_winners; the drain carries only t/cid/k)
+   -- so the post-trace XLA shading prep needs *no gathers at all*. The
+   winner's *cluster id* is also returned (out row 33): it is the next
+   bounce's packet-coherence sort key (integrate/path_mis.py), replacing
+   per-trace Morton key construction.
+
+5. **Per-octant ordered walk** (round 5): 8 near-child-first preorder
+   linearizations of the collapsed cluster tree, picked per block by
+   majority ray octant, tighten tbest early; with the octant-major
+   wavefront sort key, pruned visits dropped 58.4 -> 41.3 per block on
+   hero bounce rays (p50 19.5 = the measured perfect-prune bound; the
+   p90 tail genuinely needs ~86 distinct winner clusters).
 
 Cluster blocks live in **HBM** and are DMA'd per visited leaf with double
 buffering (walk phase collects visited leaves into an SMEM list, drain
@@ -86,12 +95,11 @@ W_COLS = 4 * K  # four quantity column blocks [det | t | u | v]
 SH_ROWS = 32  # f32 shade rows per cluster (see layout below)
 NODE_F = 64  # 2 node records per 128-float row
 BIG = 3.0e38
-# Drained leaf-list capacity per walk round (SMEM). Measured on the hero
-# bounce population (benchmarks/kernel_ablate.py): perfect pruning would
-# visit 19 clusters/block, no pruning 76; the walk sits at ~56 and is
-# insensitive to MAXV (2/4/16 -> 55.1/55.7/58.4 visits, 16 fastest
-# overall) -- the prune lag comes from DFS visit order, not round size.
-# Env override is read at import time (subprocess sweeps).
+# Drained leaf-list capacity per walk round (SMEM). With the round-5
+# octant-ordered walk the visit count is insensitive to MAXV
+# (2/8/16/24 -> 39.9/39.9/41.3/42.6 visits/block on hero bounce rays,
+# benchmarks/kernel_ablate.py); 16 remains fastest overall. Env override
+# is read at import time (subprocess sweeps).
 MAXV = int(_os.environ.get("KAZEN_TRACE_MAXV", "16"))
 _DET_EPS = 1e-8
 

@@ -17,9 +17,11 @@ Bounce structure (per iteration):
   6. trace; miss -> background; emitter-hit MIS
      weight for next iteration                     (:312-331)
 
-The first three bounces are Python-unrolled so the RR draw is only consumed
-from depth 3 (parity with the reference's conditional draw); the remaining
-depth is a lax.scan with uniform consumption.
+All max_depth bounces run as a single lax.scan over per-bounce static
+draw_rr flags (true from depth 3), so the RR draw is only consumed from
+depth 3 (parity with the reference's conditional draw) while the whole
+depth loop compiles once. The ordered-wavefront lane permutation is
+described at _bounce_ordered / li_wavefront.
 """
 from __future__ import annotations
 

@@ -6,8 +6,10 @@ equal (sampler, spp, seed) within float tolerance -- this stands in for the
 C++ renderer, which does not build as checked in (SURVEY §2.4).
 
 Supports: independent/stratified/correlated samplers, perspective camera,
-diffuse/lambertian-constant BSDF, area lights, box filter. Enough for
-BASELINE config 1/2-style scenes.
+diffuse/lambertian-constant AND kazenstandard (kiss) BSDFs (GGX-Smith
+VNDF specular + Disney diffuse/retro/sheen/clearcoat, matching
+bsdf.cpp:1157-1418 -- test_parity_hero renders the real 36k-face sweep
+scene through it), area lights, box filter.
 """
 import numpy as np
 

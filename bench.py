@@ -27,11 +27,15 @@ REF_ANCHOR = 12.1e6  # pixel-samples/s, BASELINE.md look-dev frame
 def _timed_passes(run, film, args, jump_for, n_timed):
     import jax
 
-    # warmup / compile
+    # warmup / compile. Two passes: pass 0 additionally records the
+    # staged width schedule (sync mode), pass 1 compiles + warms the
+    # pipelined bounce programs that schedule selects.
     film, nrays = run(*args, film, jnp_u32(0), jump_for(0))
     nrays_f = float(nrays)
+    film, nrays = run(*args, film, jnp_u32(1), jump_for(1))
+    jax.block_until_ready(film)
     t0 = time.time()
-    for s in range(1, 1 + n_timed):
+    for s in range(2, 2 + n_timed):
         film, nrays = run(*args, film, jnp_u32(s), jump_for(s))
     jax.block_until_ready(film)
     _ = float(nrays)
@@ -136,10 +140,66 @@ def bench_scene(arrays, static, n_timed=3, chunk=None):
 
     run_chunk = jax.jit(one_pass)
 
+    # Staged wavefront driver (integrate/staged.py): later bounces run on
+    # the narrowed live-lane prefix. Pass 0 of the timing loop runs in
+    # sync mode and records a per-chunk width schedule; timed passes run
+    # pipelined (no per-bounce syncs) and the schedules are validated
+    # after timing -- an invalid schedule (live prefix outgrew it) makes
+    # bench_scene redo the timing in sync mode, so reported numbers are
+    # always from exact passes.
+    staged = None
+    if not use_mk:
+        from kazen_tpu.integrate import path_mis
+        from kazen_tpu.integrate import staged as staged_mod
+
+        if path_mis._ordering_useful(arrays):
+
+            def init_fn(scene, film, px, py, sample_index, jump):
+                stream = streams.init_stream_jump(
+                    spec, px, py, sample_index, jump
+                )
+                stream, jitter = streams.next_pixel_2d(spec, stream)
+                ps = jnp.stack([px, py], -1).astype(jnp.float32) + jitter
+                stream, aperture = streams.next_2d(spec, stream)
+                rays = camera_mod.sample_ray(scene, static, ps, aperture)
+                st = path_mis.wavefront_init(
+                    scene, static, spec, stream, rays
+                )
+                return st, film, jitter
+
+            def finish_fn(scene, st, film, jitter):
+                _, li, nrays = path_mis.wavefront_finish(scene, static, st)
+                if tile_order:
+                    li = li[t_inv]
+                    jitter = jitter[t_inv]
+                if grid:
+                    return film_mod.splat_grid(static, film, jitter, li), nrays
+                return film_mod.splat_grid_band(static, jitter, li), nrays
+
+            staged = staged_mod.StagedWavefront(
+                static, int(px_c[0].shape[0]), init_fn, finish_fn
+            )
+
+    schedules = {}  # chunk index -> width schedule (built on pass 0)
+    records = []  # pipelined-pass records pending validation
+    staged_disable = [False]  # set after a schedule violation
+
     def run(scene, film, sample_index, jump):
         nrays = jnp.float32(0.0)
-        for px, py, row0 in zip(px_c, py_c, row0s):
-            out, nr = run_chunk(scene, film, px, py, sample_index, jump)
+        for ci, (px, py, row0) in enumerate(zip(px_c, py_c, row0s)):
+            if staged is not None:
+                (out, nr), rec = staged.run(
+                    scene, spec, film, px, py, sample_index, jump,
+                    widths=schedules.get(ci),
+                )
+                if staged_disable[0]:
+                    pass  # stay in sync mode: every pass exact on its own
+                elif ci in schedules:
+                    records.append(rec)
+                else:
+                    schedules[ci] = rec.plan()
+            else:
+                out, nr = run_chunk(scene, film, px, py, sample_index, jump)
             if grid:
                 film = out
             else:
@@ -157,6 +217,18 @@ def bench_scene(arrays, static, n_timed=3, chunk=None):
         )
 
     dt, nrays = _timed_passes(run, film, (arrays,), jump_for, n_timed)
+    if staged is not None and records and not all(r.ok() for r in records):
+        # a pipelined pass's live prefix outgrew its schedule: those
+        # timings came from inexact passes. Redo in always-sync mode.
+        print(
+            "bench: staged schedule violated; re-timing in sync mode",
+            file=sys.stderr,
+        )
+        schedules.clear()
+        records.clear()
+        staged_disable[0] = True
+        film = film_mod.make_film(static)
+        dt, nrays = _timed_passes(run, film, (arrays,), jump_for, n_timed)
     return dt, nrays, w * h
 
 

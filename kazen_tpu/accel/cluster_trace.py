@@ -83,7 +83,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
 
-BLOCK = 1024
+BLOCK = int(_os.environ.get("KAZEN_TRACE_BLOCK", "1024"))  # rays per packet walk
 K = int(_os.environ.get("KAZEN_TRACE_K", "128"))  # triangles per cluster (BVH leaf size)
 # Nodes slab-tested per vector batch in the windowed walk. Must stay <= 32:
 # the per-window any-lane-hit bits pack into ONE int32 bitmask (bit 31 is

@@ -380,7 +380,11 @@ def _texture_footprint(static, its: Interaction, ray_d):
     filtering is off."""
     if not getattr(static, "mip_textures", False):
         return None, None
-    foot = jnp.abs(its.t) * static.pixel_cone
+    # miss lanes carry t = BIG (3e38): unclamped, the major-axis products
+    # overflow to inf and the masked lanes' NaN texture probes poison the
+    # texel-gradient cotangents (0 * NaN). 1e8 is far beyond any real
+    # footprint and keeps every downstream product finite.
+    foot = jnp.minimum(jnp.abs(its.t), 1e8) * static.pixel_cone
     if not getattr(static, "aniso_textures", True):
         dp_len = jnp.maximum(
             jnp.minimum(km.norm(its.dpdu), km.norm(its.dpdv)), 1e-6
@@ -408,7 +412,10 @@ def _texture_footprint(static, its: Interaction, ray_d):
     half = 0.5 * foot
     mdu, mdv = uv_vec(m_dir * (half / cosv)[..., None])
     idu, idv = uv_vec(mi_dir * half[..., None])
-    minor_len = 2.0 * jnp.sqrt(idu * idu + idv * idv)
+    # guarded sqrt: at an exactly-degenerate footprint the 0-cotangent
+    # meets d(sqrt)/dx = inf and NaNs the whole batch's texel gradients
+    # (same reverse-mode class as core.math.norm's clamp)
+    minor_len = 2.0 * jnp.sqrt(jnp.maximum(idu * idu + idv * idv, 1e-30))
     iso_len = foot / jnp.maximum(
         jnp.minimum(km.norm(its.dpdu), km.norm(its.dpdv)), 1e-6
     )
@@ -639,6 +646,13 @@ def _bounce_ordered(scene, static, spec, st: _OState, draw_rr) -> _OState:
         | (jnp.minimum(its.cluster, 16383).astype(jnp.uint32) << 9)
         | (md & jnp.uint32(0x1FF))
     )
+    # Alive-first tier bit (round 5): lanes whose path ray continues sort
+    # before shadow-only lanes, so after this permute the still-alive lanes
+    # occupy a contiguous prefix of length sum(alive). The staged driver
+    # (integrate/staged.py) exploits this to run later bounces on a
+    # narrowed static slice; results are exact either way (the permute
+    # only reorders lanes).
+    key = jnp.where(alive, key, key | jnp.uint32(1 << 30))
     key = jnp.where(alive | (smaxt >= 0.0), key, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(key)
 
@@ -736,7 +750,11 @@ def li_wavefront(scene, static, spec, stream, rays: Rays):
     return _li_wavefront_core(scene, static, spec, stream, rays)
 
 
-def _li_wavefront_core(scene, static, spec, stream, rays: Rays):
+def wavefront_init(scene, static, spec, stream, rays: Rays) -> "_OState":
+    """Primary trace + punch-through recast + initial wavefront state.
+
+    Shared by the scan driver below and the host-staged driver
+    (integrate/staged.py); the state is in caller/pixel lane order."""
     n = rays.o.shape[0]
     rows = _trace_rows(scene, rays, do_sort=False)
 
@@ -776,6 +794,29 @@ def _li_wavefront_core(scene, static, spec, stream, rays: Rays):
         lane=jnp.arange(n, dtype=jnp.int32),
         rays=jnp.sum(jnp.ones(n, jnp.float32)),
     )
+    return st
+
+
+def wavefront_finish(scene, static, st: "_OState"):
+    """Final miss->background + un-permute to caller lane order.
+    Returns (stream, li, nrays) exactly like li_wavefront."""
+    # final trace's miss -> background (integrator.cpp:315-318); its
+    # emitter hit is beyond maxDepth and contributes nothing (reference
+    # loop-exit truncation)
+    li, _ = _shade_prologue(scene, static, st)
+
+    # back to caller lane order. st.lane is a permutation of [0, n), so
+    # the scatter .at[lane].set(x) equals the gather x[argsort(lane)] --
+    # and XLA:TPU scatters are ~5x slower than argsort + gather (24.4 ms
+    # vs ~8 ms for the (n, 3) li at 518k lanes, measured on v5e).
+    inv = jnp.argsort(st.lane)
+    li_out = li[inv]
+    stream_out = jax.tree_util.tree_map(lambda r: r[inv], st.stream)
+    return stream_out, li_out, st.rays
+
+
+def _li_wavefront_core(scene, static, spec, stream, rays: Rays):
+    st = wavefront_init(scene, static, spec, stream, rays)
 
     draw_rr_flags = jnp.arange(static.max_depth) >= 3
 
@@ -783,15 +824,4 @@ def _li_wavefront_core(scene, static, spec, stream, rays: Rays):
         return _bounce_ordered(scene, static, spec, carry, draw_rr=flag), None
 
     st, _ = jax.lax.scan(body, st, draw_rr_flags)
-
-    # final trace's miss -> background (integrator.cpp:315-318); its
-    # emitter hit is beyond maxDepth and contributes nothing (reference
-    # loop-exit truncation)
-    li, _ = _shade_prologue(scene, static, st)
-
-    # scatter back to caller lane order
-    li_out = jnp.zeros((n, 3), jnp.float32).at[st.lane].set(li)
-    stream_out = jax.tree_util.tree_map(
-        lambda r: jnp.zeros_like(r).at[st.lane].set(r), st.stream
-    )
-    return stream_out, li_out, st.rays
+    return wavefront_finish(scene, static, st)
